@@ -1,0 +1,106 @@
+"""Synthetic image+caption table (FIXTURES.md §2; BASELINE.json input_hint).
+
+Schema: image_id:string, bytes:binary, w:int, h:int, fmt:string,
+caption:string, phash:int64. Deterministic from seed; geotag derives from
+phash bits so the hinted schema stays exact:
+
+  lon = bbox.left   + (phash & 0xFFFFFFFF)  / 2^32 * extent_lon
+  lat = bbox.bottom + (phash >>> 32)        / 2^32 * extent_lat
+
+Skew: a Zipfian share of rows lands in two dense "urban-center" hotspots to
+exercise the salting + two-stage aggregation path the north rule requires.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..images.codec import encode_png, encode_raw, synth_pixels
+from .elements import BBOX_4326
+
+_HOTSPOTS = [(0.25, 0.72), (0.58, 0.45)]  # fraction coords of dense cells
+_HOT_FRAC = 0.20  # ~20% of images in hotspots (FIXTURES.md §2)
+
+
+def phash_from_frac(fx: np.ndarray, fy: np.ndarray) -> np.ndarray:
+    lo = np.clip((fx * 2**32).astype(np.uint64), 0, 2**32 - 1)
+    hi = np.clip((fy * 2**32).astype(np.uint64), 0, 2**32 - 1)
+    return ((hi << np.uint64(32)) | lo).astype(np.int64)
+
+
+def geotag_from_phash(phash: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """phash int64 → (lon, lat) in EPSG:4326. The documented invariant used by
+    cell encode, PIP join, kNN and tiling."""
+    u = np.asarray(phash).astype(np.uint64)
+    fx = (u & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32
+    fy = (u >> np.uint64(32)).astype(np.float64) / 2**32
+    lon = BBOX_4326["left"] + fx * (BBOX_4326["right"] - BBOX_4326["left"])
+    lat = BBOX_4326["bottom"] + fy * (BBOX_4326["top"] - BBOX_4326["bottom"])
+    return lon, lat
+
+
+def generate_images(n: int, seed: int = 42, with_pixels: bool = True) -> "pd.DataFrame":  # noqa: F821
+    """Deterministic image rows. with_pixels=False skips encoding (metadata-only
+    benches where bytes content is irrelevant get cheap generation)."""
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    n_hot = int(n * _HOT_FRAC)
+    n_cold = n - n_hot
+    fx = np.empty(n)
+    fy = np.empty(n)
+    fx[:n_cold] = rng.uniform(0.001, 0.999, n_cold)
+    fy[:n_cold] = rng.uniform(0.001, 0.999, n_cold)
+    # hotspots: tight gaussian blobs around two centers
+    which = rng.randint(0, len(_HOTSPOTS), n_hot)
+    cx = np.array([_HOTSPOTS[i][0] for i in which])
+    cy = np.array([_HOTSPOTS[i][1] for i in which])
+    fx[n_cold:] = np.clip(cx + rng.normal(0, 0.01, n_hot), 0.001, 0.999)
+    fy[n_cold:] = np.clip(cy + rng.normal(0, 0.01, n_hot), 0.001, 0.999)
+    phash = phash_from_frac(fx, fy)
+
+    ws = rng.randint(16, 97, n)
+    hs = rng.randint(16, 97, n)
+    fmts = np.where(rng.rand(n) < 0.5, "png", "raw")
+    image_ids = [f"img-{seed:04x}-{i:08d}" for i in range(n)]
+    captions = [
+        f"scene {i}: öffentlicher Raum près du n°{i % 97} — category probe ☃"
+        for i in range(n)
+    ]
+    if with_pixels:
+        blobs = []
+        for i in range(n):
+            px = synth_pixels(i * 2654435761 + seed, int(ws[i]), int(hs[i]))
+            blobs.append(encode_png(px) if fmts[i] == "png" else encode_raw(px))
+    else:
+        blobs = [b""] * n
+    return pd.DataFrame(
+        {
+            "image_id": image_ids,
+            "bytes": blobs,
+            "w": ws.astype(np.int32),
+            "h": hs.astype(np.int32),
+            "fmt": fmts,
+            "caption": captions,
+            "phash": phash,
+        }
+    )
+
+
+def images_to_spark(spark, pdf=None, n: int = 2000, seed: int = 42, with_pixels: bool = True):
+    from pyspark.sql import types as T
+
+    if pdf is None:
+        pdf = generate_images(n, seed, with_pixels)
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), True),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+            T.StructField("caption", T.StringType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(pdf, schema)

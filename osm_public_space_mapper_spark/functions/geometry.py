@@ -1,0 +1,152 @@
+"""Geometry pandas UDFs — Arrow-vectorized, one numpy call per batch.
+
+st_project / st_unproject: EPSG:4326 ↔ EPSG:3035
+  (reference clean_data.py:117-126, export_data.py:33-39 via pyproj)
+st_bbox: per-row bbox struct — sargable prefilter for bbox crop / cell cover
+  (reference clean_data.py:366-370)
+st_area: shoelace area (reference significance thresholds,
+  analyse_access.py:247-248,331)
+cell_of_point / cells_of_bbox: cell-index encode for join bucketing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..cells.grid import encode_cells
+from ..geo.arrowgeom import flat_to_list, row_point_offsets, series_to_flat
+from ..geo.laea import laea_forward, laea_inverse
+from ..geo.kernels import ring_signed_area
+
+GEOM_TYPE = T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
+BBOX_TYPE = T.StructType(
+    [
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ]
+)
+
+
+@pandas_udf(GEOM_TYPE)
+def st_project(geom: pd.Series) -> pd.Series:
+    coords, po, qo = series_to_flat(geom)
+    if coords.shape[0]:
+        x, y = laea_forward(coords[:, 0], coords[:, 1])
+        coords = np.stack([x, y], axis=1)
+    out = flat_to_list(coords, po, qo)
+    res = pd.Series(out, index=geom.index)
+    res[geom.isna()] = None
+    return res
+
+
+@pandas_udf(GEOM_TYPE)
+def st_unproject(geom: pd.Series) -> pd.Series:
+    coords, po, qo = series_to_flat(geom)
+    if coords.shape[0]:
+        lon, lat = laea_inverse(coords[:, 0], coords[:, 1])
+        coords = np.stack([lon, lat], axis=1)
+    out = flat_to_list(coords, po, qo)
+    res = pd.Series(out, index=geom.index)
+    res[geom.isna()] = None
+    return res
+
+
+@pandas_udf(BBOX_TYPE)
+def st_bbox(geom: pd.Series) -> pd.DataFrame:
+    from ..geo.arrowgeom import row_bbox
+
+    bb = row_bbox(geom)
+    return pd.DataFrame({"xmin": bb[:, 0], "ymin": bb[:, 1], "xmax": bb[:, 2], "ymax": bb[:, 3]}, index=geom.index)
+
+
+@pandas_udf(T.DoubleType())
+def st_area(geom: pd.Series) -> pd.Series:
+    """Even-odd shoelace area per row (abs of signed ring sum)."""
+    coords, po, qo = series_to_flat(geom)
+    n = len(geom)
+    out = np.zeros(n)
+    if coords.shape[0]:
+        # signed area per part via vectorized shoelace with reduceat
+        x, y = coords[:, 0], coords[:, 1]
+        x2 = np.empty_like(x)
+        y2 = np.empty_like(y)
+        # next-vertex within each part (wrap at part boundaries)
+        for i in range(len(qo) - 1):  # parts loop (parts are few per geom)
+            s, e = qo[i], qo[i + 1]
+            if e - s >= 3:
+                x2[s:e] = np.roll(x[s:e], -1)
+                y2[s:e] = np.roll(y[s:e], -1)
+            else:
+                x2[s:e] = x[s:e]
+                y2[s:e] = y[s:e]
+        cross = x * y2 - x2 * y
+        part_starts = qo[:-1]
+        nonempty_parts = np.diff(qo) > 0
+        part_area = np.zeros(len(part_starts))
+        if nonempty_parts.any():
+            part_area[nonempty_parts] = (
+                np.add.reduceat(cross, part_starts[nonempty_parts]) * 0.5
+            )
+        part_area = np.where(np.diff(qo) >= 3, part_area, 0.0)
+        if len(part_area):
+            idx = np.minimum(po[:-1], len(part_area) - 1)
+            row_sum = np.add.reduceat(part_area, idx)
+            row_sum = np.where(np.diff(po) > 0, row_sum, 0.0)
+            out = np.abs(row_sum[:n])
+    return pd.Series(out, index=geom.index)
+
+
+def cell_udf(res: int):
+    """Point cell-encode UDF factory: (x, y) LAEA metres → int64 cell id."""
+
+    @pandas_udf(T.LongType())
+    def _cell(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(encode_cells(x.to_numpy(), y.to_numpy(), res), index=x.index)
+
+    return _cell
+
+
+def lonlat_cell_udf(res: int):
+    """(lon, lat) EPSG:4326 → int64 cell id (projects then encodes)."""
+
+    @pandas_udf(T.LongType())
+    def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        x, y = laea_forward(lon.to_numpy(), lat.to_numpy())
+        return pd.Series(encode_cells(x, y, res), index=lon.index)
+
+    return _cell
+
+
+def cells_covering_bbox_udf(res: int, halo: int = 0):
+    """bbox struct fields → array of covering cell ids (explode target).
+
+    Used to fan polygons out onto join cells; halo=1 adds the seam ring so
+    per-cell kernels see cross-boundary geometry (SURVEY.md §4.2.1)."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _cover(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        from ..cells.grid import cell_side
+
+        side = cell_side(res)
+        ix0 = np.floor(xmin.to_numpy() / side).astype(np.int64) - halo
+        ix1 = np.floor(xmax.to_numpy() / side).astype(np.int64) + halo
+        iy0 = np.floor(ymin.to_numpy() / side).astype(np.int64) - halo
+        iy1 = np.floor(ymax.to_numpy() / side).astype(np.int64) + halo
+        out = []
+        mask = (1 << 29) - 1
+        for a0, a1, b0, b1 in zip(ix0, ix1, iy0, iy1):
+            if a1 < a0:  # NaN bbox
+                out.append([])
+                continue
+            gx, gy = np.meshgrid(np.arange(a0, a1 + 1), np.arange(b0, b1 + 1), indexing="ij")
+            ids = (np.int64(res) << 58) | ((gx.ravel() & mask) << 29) | (gy.ravel() & mask)
+            out.append(ids.tolist())
+        return pd.Series(out, index=xmin.index)
+
+    return _cover

@@ -190,11 +190,16 @@ def erode(mask: np.ndarray, radius_px: float, shape: str = "disc") -> np.ndarray
 
 def close_open(mask: np.ndarray, close_r: float, open_r: float, shape: str = "disc") -> np.ndarray:
     """Morphological close (buffer +r, −r) then open (−r, +r) — the smoothing
-    pattern at analyse_traffic_area.py:278-282."""
-    out = erode(dilate(mask, close_r, shape), close_r, shape)
+    pattern at analyse_traffic_area.py:278-282.
+
+    Pads by the radius first so dilation is not clipped at the tile border
+    (otherwise the following erosion eats real area at the edges)."""
+    pad = int(np.ceil(max(close_r, open_r))) + 2
+    big = np.pad(mask, pad)
+    out = erode(dilate(big, close_r, shape), close_r, shape)
     if open_r > 0:
         out = dilate(erode(out, open_r, shape), open_r, shape)
-    return out
+    return out[pad:-pad, pad:-pad]
 
 
 def mask_area(mask: np.ndarray, px: float) -> float:

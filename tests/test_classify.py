@@ -1,0 +1,134 @@
+"""Vienna-fixture classification tests (SURVEY.md §5.2 layer 2).
+
+Runs the engine's clean+classify stages on the synthetic Rabenhof-shaped
+elements table and asserts per-row (space_type, access, space_category)
+equality against the independent python transliteration of the reference rule
+tables (tests/rules_oracle.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import rules_oracle as O
+from osm_public_space_mapper_spark.fixtures.elements import generate_elements, elements_to_spark
+from osm_public_space_mapper_spark.functions import classify
+from osm_public_space_mapper_spark.operators import clean
+
+
+def oracle_pipeline(rows):
+    """Reference-order classification for every fixture row that survives the
+    clean chain (mirrors full_data_analysis.py:28-68,134-145)."""
+    out = {}
+    for r in rows:
+        kind, tags = r["geom_kind"], r["tags"]
+        if kind is None or r["geom"] is None or len(r["geom"]) == 0:
+            continue
+        if len(tags) == 0:
+            continue
+        if kind == "point" and not O.is_entrance(kind, tags):
+            continue
+        if O.is_non_groundlevel(tags):
+            continue
+        building = O.is_building(kind, tags)
+        if not building:
+            relevant = ["highway", "public_transport", "railway", "barrier", "amenity", "leisure",
+                        "natural", "water", "parking", "embankment", "landuse", "footway", "bridge",
+                        "place", "construction", "parking_space", "man_made"]
+            if not any(k in tags for k in relevant):
+                continue
+            if "boundary" in tags:
+                continue
+            irrelevant_values = {
+                "natural": {"tree_row"},
+                "landuse": {"commercial", "retail", "residential", "industrial", "education"},
+                "place": {"neighbourhood", "city_block", "locality", "quarter"},
+                "indoor": {"yes", "room"},
+                "highway": {"corridor", "proposed"},
+            }
+            relevant_amenity = ["fountain", "shelter", "parking", "parking_space", "bus_station",
+                                "grave_yard", "biergarten", "motorcycle_parking", "public_bath"]
+            if any(tags.get(k) in v for k, v in irrelevant_values.items()):
+                continue
+            if "amenity" in tags and tags["amenity"] not in relevant_amenity:
+                continue
+        # clean_geometries: simple-multipolygon → polygon, false polygon → linestring
+        if kind == "multipolygon" and len(r["geom"]) == 1:
+            kind = "polygon"
+        false_poly = (
+            ("highway" in tags and kind == "polygon")
+            or (tags.get("barrier") in ("fence", "hedge") and kind == "polygon")
+            or (tags.get("barrier") == "wall" and "building" not in tags and kind == "polygon")
+        ) and tags.get("area") != "yes"
+        if false_poly:
+            kind = "linestring"
+        if building:
+            out[r["element_id"]] = ("building", "undefined", "building")
+            continue
+        access = O.interpret_tags_access(tags)
+        st, access_ow = O.traffic_space_type(kind, tags)
+        if access_ow is not None:
+            access = access_ow
+        if st is None:
+            st = O.missing_space_type(tags)
+        if access is None and st is not None:
+            access = O.assumed_access(st)
+        out[r["element_id"]] = (st, access, O.space_category(st) if st else None)
+    return out
+
+
+@pytest.fixture(scope="module")
+def classified(spark):
+    df = elements_to_spark(spark)
+    df = clean.clean_chain(df)
+    rest, buildings = clean.get_and_drop_buildings(df)
+    rest = classify.interpret_tags(rest)
+    rest = classify.set_traffic_space_type(rest)
+    rest = classify.set_missing_space_types(rest)
+    rest = classify.assume_access_based_on_space_type(rest)
+    both = rest.unionByName(buildings)
+    both = classify.set_space_category(both)
+    rows = both.select("element_id", "space_type", "access", "space_category").collect()
+    return {r.element_id: (r.space_type, r.access, r.space_category) for r in rows}
+
+
+def test_classification_matches_oracle_per_row(classified):
+    expected = oracle_pipeline(generate_elements())
+    assert set(classified.keys()) == set(expected.keys())
+    mismatches = {
+        eid: (classified[eid], expected[eid])
+        for eid in expected
+        if classified[eid] != expected[eid]
+    }
+    assert not mismatches, f"{len(mismatches)} mismatches: {mismatches}"
+
+
+def test_spot_checks(classified):
+    # building
+    assert classified[1] == ("building", "undefined", "building")
+    # park with fee → greenspace restricted
+    assert classified[21] == ("park", "restricted", "greenspace")
+    # 24/7 park stays yes
+    assert classified[22] == ("park", "yes", "greenspace")
+    # parking polygon force-overwrites access=yes → no, category road
+    assert classified[52] == ("parking", "no", "road")
+    # meadow → no-access list
+    assert classified[20] == ("meadow", "no", "greenspace")
+
+
+def test_road_width_matches_oracle(spark):
+    df = elements_to_spark(spark)
+    df = clean.clean_chain(df)
+    rest, _ = clean.get_and_drop_buildings(df)
+    rest = classify.interpret_tags(rest)
+    rest = classify.set_traffic_space_type(rest)
+    widths = {
+        r.element_id: r.width
+        for r in rest.filter(F.col("space_type") == "road")
+        .withColumn("width", classify.road_width())
+        .select("element_id", "width")
+        .collect()
+    }
+    rows = {r["element_id"]: r for r in generate_elements()}
+    for eid, w in widths.items():
+        expected = O.road_width(rows[eid]["tags"])
+        assert abs(w - expected) < 1e-9, (eid, w, expected, rows[eid]["tags"])
+    assert len(widths) >= 8

@@ -130,10 +130,15 @@ def generate_elements() -> list[dict]:
     add("linestring", [fence1], {"barrier": "fence"})
     add("point", [_pt(0.70, 0.775)], {"barrier": "gate"})
     add("polygon", [_rect(0.74, 0.74, 0.81, 0.81)], {"leisure": "garden"})  # inside fence1 → access no
-    # accessible fence ring crossed by a footway (entrance default yes)
+    # accessible fence ring with a crossing point on it (entrance default yes).
+    # NB: highway/footway LINESTRINGS are classified road/walking-area and
+    # dropped before interpret_barriers (full_data_analysis.py:93 vs :103), so
+    # only point entrances (gates, crossings) reach the barrier join — matching
+    # the reference's effective semantics.
     fence2 = _rect(0.05, 0.25, 0.18, 0.40)
     add("linestring", [fence2], {"barrier": "fence"})
-    add("linestring", [_line((0.02, 0.32), (0.10, 0.32))], {"highway": "footway"})  # crosses fence2
+    add("point", [_pt(0.05, 0.32)], {"highway": "crossing"})  # entrance on fence2, default yes
+    add("linestring", [_line((0.02, 0.32), (0.10, 0.32))], {"highway": "footway"})  # walking area through fence2
     add("linestring", [_line((0.60, 0.75), (0.75, 0.75))], {"barrier": "wall"})
     add("linestring", [_line((0.60, 0.78), (0.75, 0.78))], {"barrier": "hedge"})
     add("polygon", [_rect(0.40, 0.75, 0.44, 0.79)], {"barrier": "fence"})  # false polygon → linestring

@@ -1,0 +1,115 @@
+"""Text-analysis functions for training-data pipelines over `documents`.
+
+All pure Catalyst expressions (JVM-side, no UDFs): token counting
+(whitespace + word-regex), quality scoring (length/punctuation/stopword
+ratios), n-gram language heuristic, document fingerprinting (md5 — portable
+to the DuckDB oracle), shingling for MinHash/Jaccard dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword probes (language-ID heuristic)
+LANG_PROBES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "que", "de", "es"],
+}
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace tokenization count."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish word/punct regex token count."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def alpha_ratio(text: Column) -> Column:
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return n_alpha.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def mean_word_len(text: Column) -> Column:
+    words = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+"), 0)
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return total.cast("double") / F.greatest(F.size(words), F.lit(1)).cast("double")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of stopword occurrences (word-bounded) for one language."""
+    pat = r"\b(" + "|".join(LANG_PROBES[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return stopword_hits(text, lang).cast("double") / F.greatest(ws_token_count(text), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, mostly alphabetic,
+    not punctuation-heavy, has stopwords (i.e. looks like prose)."""
+    len_score = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.25) * len_score
+        + F.lit(0.25) * alpha_ratio(text)
+        + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio(text) * 4.0, F.lit(1.0)))
+        + F.lit(0.25) * F.least(stopword_ratio(text) * 5.0, F.lit(1.0)),
+        6,
+    )
+
+
+def lang_guess(text: Column) -> Column:
+    """argmax over language stopword hits; ties/zero → 'und' (undetermined).
+
+    Deterministic tie-break: language order en > de > fr > es."""
+    hits = {lang: stopword_hits(text, lang) for lang in LANG_PROBES}
+    best = None
+    expr = F.lit("und")
+    # build when-chain: en wins ties by being checked first with >=
+    ordered = list(LANG_PROBES)
+    conds = []
+    for lang in ordered:
+        others = [hits[o] for o in ordered if o != lang]
+        cond = hits[lang] > 0
+        for o in others:
+            cond = cond & (hits[lang] >= o)
+        conds.append((lang, cond))
+    chain = None
+    for lang, cond in conds:
+        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
+    return chain.otherwise("und")
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercase, whitespace-collapsed
+    text — portable (identical in Spark and DuckDB)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of the normalized text (array<string>)."""
+    words = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+    count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - 1)
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]))
+    )
+
+
+def hash64(col: Column) -> Column:
+    """Portable 60-bit hash from md5 hex (same value in DuckDB via
+    CAST(CONCAT('0x', substr(md5(x),1,15)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

@@ -1,0 +1,220 @@
+"""J12/J13 — the flagship image-side spatial joins (north rule).
+
+J12 point-in-polygon assignment: geo-tagged image rows (lon/lat derived from
+phash bits, FIXTURES.md §2) are bucketed by fine cell; the classified polygon
+layer is exploded onto the cells its bbox covers; equi-join on cell, then an
+Arrow-vectorized PIP refine per cell group. No broadcast of either side — the
+shuffle key is the cell id, skew handled by AQE + optional salting of dense
+cells (see bench).
+
+J13 kNN: k nearest walkable-space centroids per image via cell-ring candidate
+generation (ring join) + window `row_number() ≤ k` — SURVEY.md §2.5 J13/§2.7.
+
+Both have numpy brute-force oracles in tests (join-output row equality,
+SURVEY.md §5.2 layer 3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..cells.grid import RES_FINE
+from ..fixtures.elements import BBOX_4326
+from ..functions.geometry import cells_covering_bbox_udf, lonlat_cell_udf, st_bbox
+from ..geo.arrowgeom import np_parts
+from ..geo.kernels import points_in_polygon, ring_signed_area
+
+JOIN_RES_DEFAULT = 12  # 64 m join buckets
+KNN_RES_DEFAULT = 9    # 512 m kNN candidate cells
+
+WALKABLE_CATEGORIES = ("open space", "greenspace", "play and sports")
+
+
+def with_geotag(images: DataFrame) -> DataFrame:
+    """Derive (lon, lat) from phash bits — pure JVM expressions.
+
+    lon = left + (phash & 0xFFFFFFFF)/2^32·Δlon ; lat from the high 32 bits
+    (unsigned shift: phash may use bit 63)."""
+    lo = F.col("phash").bitwiseAND(F.lit(0xFFFFFFFF))
+    hi = F.shiftrightunsigned(F.col("phash"), 32)
+    dlon = BBOX_4326["right"] - BBOX_4326["left"]
+    dlat = BBOX_4326["top"] - BBOX_4326["bottom"]
+    return images.withColumn(
+        "lon", F.lit(BBOX_4326["left"]) + lo.cast("double") / F.lit(2.0**32) * F.lit(dlon)
+    ).withColumn(
+        "lat", F.lit(BBOX_4326["bottom"]) + hi.cast("double") / F.lit(2.0**32) * F.lit(dlat)
+    )
+
+
+def with_cells(images: DataFrame, res: int = JOIN_RES_DEFAULT, coarse_res: int = 7) -> DataFrame:
+    """Attach join cell + coarse partition-pruning cell (cell7)."""
+    cell = lonlat_cell_udf(res)
+    cell7 = lonlat_cell_udf(coarse_res)
+    return images.withColumn("cell", cell(F.col("lon"), F.col("lat"))).withColumn(
+        "cell7", cell7(F.col("lon"), F.col("lat"))
+    )
+
+
+def explode_layer_to_cells(layer: DataFrame, res: int = JOIN_RES_DEFAULT) -> DataFrame:
+    """Polygon layer rows → one row per covering join cell, with a
+    deterministic polygon_id (stable across partitionings)."""
+    cover = cells_covering_bbox_udf(res, halo=0)
+    out = layer.withColumn(
+        "polygon_id", F.xxhash64(F.col("overlay_cell"), F.col("space_category"), F.col("access"))
+    )
+    out = out.withColumn("_bbox", st_bbox(F.col("geom")))
+    out = out.withColumn(
+        "cell",
+        F.explode(cover(F.col("_bbox.xmin"), F.col("_bbox.ymin"), F.col("_bbox.xmax"), F.col("_bbox.ymax"))),
+    ).drop("_bbox")
+    return out
+
+
+_PIP_OUT = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("polygon_id", T.LongType()),
+        T.StructField("space_category", T.StringType()),
+        T.StructField("access", T.StringType()),
+    ]
+)
+
+
+def pip_join(images: DataFrame, layer: DataFrame, res: int = JOIN_RES_DEFAULT) -> DataFrame:
+    """Assign each image to the polygon covering it (J12).
+
+    Plan: images(cell) ⋈ layer(cell) → groupBy(cell) → vectorized PIP refine.
+    Points are projected once (x,y already attached by caller via project_points).
+    """
+    imgs = images.select("image_id", "x", "y", "cell")
+    polys = explode_layer_to_cells(layer, res).select(
+        "cell", "polygon_id", "space_category", "access", "geom"
+    )
+    joined = imgs.join(polys, "cell")
+
+    def _refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one PIP batch per distinct polygon in this cell group
+        out_img, out_pid, out_cat, out_acc = [], [], [], []
+        for pid, grp in pdf.groupby("polygon_id", sort=True):
+            rings = np_parts(grp["geom"].iloc[0])
+            if not rings:
+                continue
+            px = grp["x"].to_numpy()
+            py = grp["y"].to_numpy()
+            hit = points_in_polygon(px, py, rings)
+            if hit.any():
+                sel = grp.loc[hit]
+                out_img.extend(sel["image_id"].tolist())
+                out_pid.extend([pid] * int(hit.sum()))
+                out_cat.extend(sel["space_category"].tolist())
+                out_acc.extend(sel["access"].tolist())
+        return pd.DataFrame(
+            {"image_id": out_img, "polygon_id": out_pid, "space_category": out_cat, "access": out_acc}
+        )
+
+    return joined.groupBy("cell").applyInPandas(_refine, _PIP_OUT)
+
+
+def project_points(images: DataFrame) -> DataFrame:
+    """Attach projected (x, y) via one Arrow-vectorized UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]))
+    def _proj(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        from ..geo.laea import laea_forward
+
+        x, y = laea_forward(lon.to_numpy(), lat.to_numpy())
+        return pd.DataFrame({"x": x, "y": y}, index=lon.index)
+
+    out = images.withColumn("_xy", _proj(F.col("lon"), F.col("lat")))
+    return out.withColumn("x", F.col("_xy.x")).withColumn("y", F.col("_xy.y")).drop("_xy")
+
+
+def layer_centroids(layer: DataFrame) -> DataFrame:
+    """Area-weighted centroid per polygon-layer row (shoelace centroid over
+    the even-odd ring set)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StructType([T.StructField("cx", T.DoubleType()), T.StructField("cy", T.DoubleType())]))
+    def _centroid(geom: pd.Series) -> pd.DataFrame:
+        cxs, cys = [], []
+        for g in geom:
+            rings = np_parts(g)
+            a_sum, cx_sum, cy_sum = 0.0, 0.0, 0.0
+            for ring in rings:
+                if len(ring) < 3:
+                    continue
+                x, y = ring[:, 0], ring[:, 1]
+                x2, y2 = np.roll(x, -1), np.roll(y, -1)
+                cross = x * y2 - x2 * y
+                a = cross.sum() / 2.0
+                if a == 0:
+                    continue
+                cx_sum += ((x + x2) * cross).sum() / 6.0
+                cy_sum += ((y + y2) * cross).sum() / 6.0
+                a_sum += a
+            if a_sum == 0:
+                cxs.append(float("nan"))
+                cys.append(float("nan"))
+            else:
+                cxs.append(cx_sum / a_sum)
+                cys.append(cy_sum / a_sum)
+        return pd.DataFrame({"cx": cxs, "cy": cys}, index=geom.index)
+
+    out = layer.withColumn(
+        "polygon_id", F.xxhash64(F.col("overlay_cell"), F.col("space_category"), F.col("access"))
+    )
+    out = out.withColumn("_c", _centroid(F.col("geom")))
+    return out.select(
+        "polygon_id", "space_category", "access",
+        F.col("_c.cx").alias("cx"), F.col("_c.cy").alias("cy"),
+    ).filter(F.col("cx").isNotNull())
+
+
+def knn_join(images: DataFrame, centroids: DataFrame, k: int = 3, res: int = KNN_RES_DEFAULT, ring: int = 1) -> DataFrame:
+    """k nearest walkable centroids per image (J13).
+
+    Candidate generation: centroid cell exploded to its (2·ring+1)² neighbor
+    cells; image joined on its own cell → every centroid within `ring` cells
+    is a candidate. Exact for k-NN when the k-th neighbor lies within
+    ring·cell_side of the image (caller picks res/ring for the data scale;
+    tests verify exactness vs brute force). Refine: distance + row_number."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _neighbor_cells(cx: pd.Series, cy: pd.Series) -> pd.Series:
+        from ..cells.grid import encode_cells, neighbors
+
+        base = encode_cells(cx.to_numpy(), cy.to_numpy(), res)
+        neigh = neighbors(base, ring)
+        return pd.Series(list(neigh), index=cx.index).map(lambda a: a.tolist())
+
+    cands = centroids.withColumn("cell", F.explode(_neighbor_cells(F.col("cx"), F.col("cy"))))
+    imgs = images.withColumn("knn_cell", lonlat_cell_udf(res)(F.col("lon"), F.col("lat")))
+    joined = imgs.join(cands, imgs["knn_cell"] == cands["cell"]).select(
+        "image_id", "x", "y", "polygon_id",
+        F.col("space_category").alias("nn_category"),
+        F.col("access").alias("nn_access"),
+        "cx", "cy",
+    )
+    joined = joined.withColumn(
+        "dist", F.sqrt((F.col("x") - F.col("cx")) ** 2 + (F.col("y") - F.col("cy")) ** 2)
+    )
+    w = Window.partitionBy("image_id").orderBy(F.col("dist").asc(), F.col("polygon_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("image_id", "rank", "polygon_id", "nn_category", "nn_access", "dist")
+    )
+
+
+def walkable_centroids(layer: DataFrame) -> DataFrame:
+    """Centroids of walkable space: access='yes' in the walkable categories."""
+    walkable = layer.filter(
+        F.col("access").eqNullSafe("yes") & F.col("space_category").isin(*WALKABLE_CATEGORIES)
+    )
+    return layer_centroids(walkable)

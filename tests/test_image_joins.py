@@ -1,0 +1,137 @@
+"""J12 PIP join + J13 kNN + tiling vs numpy brute-force oracles
+(SURVEY.md §5.2 layers 3, and FIXTURES.md §3 expected_assignments /
+expected_knn / expected_tiles)."""
+
+import numpy as np
+import pytest
+
+from osm_public_space_mapper_spark.fixtures.elements import BBOX_4326, elements_to_spark
+from osm_public_space_mapper_spark.fixtures.images import generate_images, images_to_spark
+from osm_public_space_mapper_spark.geo.arrowgeom import np_parts
+from osm_public_space_mapper_spark.geo.kernels import points_in_polygon
+from osm_public_space_mapper_spark.geo.laea import laea_forward
+from osm_public_space_mapper_spark.operators.overlay_core import OverlayConfig
+from osm_public_space_mapper_spark.operators import joins, tiling
+from osm_public_space_mapper_spark.operators.imageops import image_features, verify_invariants
+from osm_public_space_mapper_spark.plans.pipeline import projected_bbox_ring, run_pipeline
+
+N_IMAGES = 1500
+
+
+@pytest.fixture(scope="module")
+def layer_df(spark):
+    ring = projected_bbox_ring(BBOX_4326["left"], BBOX_4326["bottom"], BBOX_4326["right"], BBOX_4326["top"])
+    env = (float(ring[:, 0].min()), float(ring[:, 1].min()), float(ring[:, 0].max()), float(ring[:, 1].max()))
+    cfg = OverlayConfig(px=0.25, margin=64.0, bbox=env, bbox_ring=ring)
+    return run_pipeline(elements_to_spark(spark), cfg, overlay_res=8).cache()
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    pdf = generate_images(N_IMAGES, seed=7, with_pixels=False)
+    df = images_to_spark(spark, pdf)
+    df = joins.with_geotag(df)
+    df = joins.project_points(df)
+    df = joins.with_cells(df, res=joins.JOIN_RES_DEFAULT)
+    return df.cache()
+
+
+def _layer_numpy(layer_rows):
+    return [
+        (int(r.polygon_id) if hasattr(r, "polygon_id") else None, r.space_category, r.access, np_parts(r.geom))
+        for r in layer_rows
+    ]
+
+
+def test_pip_join_matches_bruteforce(spark, layer_df, images_df):
+    assigned = joins.pip_join(images_df, layer_df).collect()
+    engine = {r.image_id: (r.space_category, r.access) for r in assigned}
+
+    # numpy brute force: each image against EVERY layer polygon
+    layer_rows = layer_df.collect()
+    pts = images_df.select("image_id", "x", "y").collect()
+    ids = [r.image_id for r in pts]
+    xs = np.array([r.x for r in pts])
+    ys = np.array([r.y for r in pts])
+    oracle = {}
+    for r in layer_rows:
+        rings = np_parts(r.geom)
+        hit = points_in_polygon(xs, ys, rings)
+        for i in np.nonzero(hit)[0]:
+            # layer polygons are non-overlapping; one hit per image
+            assert ids[i] not in oracle, f"overlap at {ids[i]}"
+            oracle[ids[i]] = (r.space_category, r.access)
+
+    assert engine == oracle
+    # geotags are inside the bbox, so every image must be assigned
+    assert len(engine) == N_IMAGES
+
+
+def test_pip_assignment_distribution(spark, layer_df, images_df):
+    assigned = joins.pip_join(images_df, layer_df)
+    counts = {(r.space_category, r.access): r.n for r in
+              assigned.groupBy("space_category", "access").count().withColumnRenamed("count", "n").collect()}
+    assert sum(counts.values()) == N_IMAGES
+    assert counts[("undefined space", "yes")] > 0
+    assert counts[("traffic area", "no")] > 0
+
+
+def test_knn_matches_bruteforce(spark, layer_df, images_df):
+    cents = joins.walkable_centroids(layer_df).collect()
+    cent_xy = np.array([[r.cx, r.cy] for r in cents])
+    cent_pid = np.array([r.polygon_id for r in cents])
+    k = 3
+    assert len(cents) >= k
+
+    cents_df = joins.walkable_centroids(layer_df)
+    knn = joins.knn_join(images_df, cents_df, k=k, res=9, ring=2).collect()
+    engine = {}
+    for r in knn:
+        engine.setdefault(r.image_id, []).append((r.rank, int(r.polygon_id), r.dist))
+    for v in engine.values():
+        v.sort()
+
+    pts = images_df.select("image_id", "x", "y").collect()
+    for r in pts:
+        d = np.hypot(cent_xy[:, 0] - r.x, cent_xy[:, 1] - r.y)
+        order = np.lexsort((cent_pid, d))[:k]
+        expected = [(i + 1, int(cent_pid[j]), float(d[j])) for i, j in enumerate(order)]
+        got = engine[r.image_id]
+        assert [e[1] for e in expected] == [g[1] for g in got], (r.image_id, expected, got)
+        for e, g in zip(expected, got):
+            assert abs(e[2] - g[2]) < 1e-9
+
+
+def test_tiles_roundtrip_iou(spark, layer_df):
+    tiles = tiling.rasterize_tiles(layer_df, tile_res=10, px=0.25)
+    tile_rows = tiles.collect()
+    assert len(tile_rows) > 0
+    layer_rows = layer_df.collect()
+    by_key = {}
+    for r in layer_rows:
+        by_key.setdefault((r.space_category, r.access), []).append(r.geom)
+    for tr in tile_rows[:40]:
+        iou = tiling.mask_vector_iou(tr, by_key[(tr.space_category, tr.access)])
+        assert iou >= 0.99, (tr.space_category, tr.access, iou)
+    # deterministic hashes: rerun and compare
+    tiles2 = {(r.tile_cell, r.space_category, r.access): r.mask_hash
+              for r in tiling.rasterize_tiles(layer_df, tile_res=10, px=0.25).collect()}
+    tiles1 = {(r.tile_cell, r.space_category, r.access): r.mask_hash for r in tile_rows}
+    assert tiles1 == tiles2
+
+
+def test_image_invariants_and_features(spark):
+    pdf = generate_images(60, seed=3, with_pixels=True)
+    df = images_to_spark(spark, pdf)
+    inv = verify_invariants(df).collect()
+    assert len(inv) == 60
+    assert all(r.pixels_ok for r in inv)
+    assert all(r.caption_ok for r in inv)
+    assert all(r.psnr_db >= 40.0 for r in inv)
+    feats = image_features(df).collect()
+    assert len(feats) == 60
+    assert all(0.0 <= r.mean_r <= 255.0 for r in feats)
+    # determinism
+    f2 = {r.image_id: (r.mean_r, r.luma_std) for r in image_features(df).collect()}
+    f1 = {r.image_id: (r.mean_r, r.luma_std) for r in feats}
+    assert f1 == f2

@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship spatial query: synthesize the deterministic
+                 image+caption table (size driven by sf0.001 lineitem row
+                 count), classify the Vienna-shaped elements fixture into the
+                 public-space polygon layer, run the cell-bucketed PIP join
+                 (J12) and return images per (space_category, access).
+queries()      — one entry per implemented operator family (SURVEY.md §2).
+oracle_sql()   — DuckDB-runnable ANSI SQL equivalents. Entries without SQL
+                 (spatial raster/vector kernels, LSH-ANN) get the driver's
+                 rows-only check and are verified against numpy brute-force
+                 oracles in tests/ instead.
+
+Column names are aliased identically on both sides; float aggregates are
+rounded on both sides so order-insensitive value hashes match.
 """
 
 from __future__ import annotations
@@ -12,27 +20,554 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_public_space_mapper_spark.functions import text as TXT
+from osm_public_space_mapper_spark.operators import dedup as DD
+from osm_public_space_mapper_spark.operators import similarity as SIM
+from osm_public_space_mapper_spark.operators.dedup import MINHASH_BANDS, MINHASH_MASK, MINHASH_PERMS, MINHASH_PRIME, minhash_params
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _reg(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# spatial flagship helpers (deterministic synthetic inputs; no external data)
+# ---------------------------------------------------------------------------
+
+_LAYER_CACHE: dict[int, list] = {}
+
+
+def _polygon_layer(spark: SparkSession) -> DataFrame:
+    """Classified public-space polygon layer from the deterministic
+    Vienna-shaped fixture (cached per session)."""
+    from osm_public_space_mapper_spark.fixtures.elements import BBOX_4326, elements_to_spark
+    from osm_public_space_mapper_spark.operators.overlay_core import OverlayConfig
+    from osm_public_space_mapper_spark.plans.pipeline import projected_bbox_ring, run_pipeline
+
+    key = id(spark)
+    if key not in _LAYER_CACHE:
+        ring = projected_bbox_ring(BBOX_4326["left"], BBOX_4326["bottom"], BBOX_4326["right"], BBOX_4326["top"])
+        env = (float(ring[:, 0].min()), float(ring[:, 1].min()), float(ring[:, 0].max()), float(ring[:, 1].max()))
+        cfg = OverlayConfig(px=0.25, margin=64.0, bbox=env, bbox_ring=ring)
+        layer = run_pipeline(elements_to_spark(spark), cfg, overlay_res=8).cache()
+        layer.count()
+        _LAYER_CACHE[key] = layer
+    return _LAYER_CACHE[key]
+
+
+def _images(spark: SparkSession, n: int, with_pixels: bool = False) -> DataFrame:
+    from osm_public_space_mapper_spark.fixtures.images import generate_images, images_to_spark
+    from osm_public_space_mapper_spark.operators import joins
+
+    df = images_to_spark(spark, generate_images(n, seed=7, with_pixels=with_pixels))
+    df = joins.with_geotag(df)
+    df = joins.project_points(df)
+    return joins.with_cells(df)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: classify → overlay → cell-bucketed PIP join → counts."""
+    from osm_public_space_mapper_spark.operators import joins
+
+    n = _t(spark, "/root/testdata/sf0.001", "lineitem").count()  # scale driver
+    images = _images(spark, min(int(n), 6000))
+    layer = _polygon_layer(spark)
+    assigned = joins.pip_join(images, layer)
+    return (
+        assigned.groupBy("space_category", "access")
+        .agg(F.count("*").alias("n_images"))
+        .orderBy("space_category", "access")
+    )
+
+
+# ---------------------------------------------------------------------------
+# portable SQL (identical text runs on Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+       ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+       COUNT(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_Q3 = """
+SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderpriority
+HAVING SUM(l.l_extendedprice * (1 - l.l_discount)) > 1000.0
+"""
+
+_Q5 = """
+SELECT n.n_name AS nation, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+_TOP3 = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rnk
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+) t WHERE rnk <= 3
+"""
+
+_GRID = """
+SELECT CAST(FLOOR((value - FLOOR(value)) * 16) AS BIGINT) * 16
+       + CAST(FLOOR(((user_id % 997) / 997.0) * 16) AS BIGINT) AS cell_id,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events
+GROUP BY 1
+"""
+
+_SESS_SPARK = """
+WITH e AS (
+  SELECT user_id, unix_timestamp(ts) AS sec FROM events
+), d AS (
+  SELECT user_id, sec,
+         CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+                   OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+)
+SELECT user_id, SUM(brk) AS n_sessions, COUNT(*) AS n_events
+FROM d GROUP BY user_id
+"""
+
+_SESS_DUCK = """
+WITH e AS (
+  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS sec FROM events
+), d AS (
+  SELECT user_id, sec,
+         CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+                   OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+)
+SELECT user_id, SUM(brk) AS n_sessions, COUNT(*) AS n_events
+FROM d GROUP BY user_id
+"""
+
+# --- text / dedup oracle SQL (DuckDB dialect) -------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_HASH64_DUCK = "CAST(CONCAT('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_TOKEN_DUCK = f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS word_tokens,
+       length(text) AS n_chars_computed
+FROM documents
+"""
+
+_DEDUP_DUCK = f"""
+SELECT md5({_NORM}) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def _shingle_cte_duck(n: int = 3) -> str:
+    """words + n-gram shingles per doc (DuckDB; scalar generate_series →
+    list_transform → unnest, since lateral table functions can't see columns)."""
+    terms = " || ' ' || ".join(f"words[i + {j}]" for j in range(n))
+    return f"""
+words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(words) - {n - 1}), i -> {terms})) AS sh
+  FROM words
+  WHERE len(words) >= {n}
+)
+"""
+
+
+def _jaccard_sql_duck(n: int = 3, threshold: float = 0.3) -> str:
+    return f"""
+WITH {_shingle_cte_duck(n)},
+dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM dsh l JOIN dsh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+"""
+
+
+def _minhash_sql_duck(n: int = 3) -> str:
+    mins = ",\n         ".join(
+        f"MIN(((h & {MINHASH_MASK}) * {minhash_params(p)[0]} + {minhash_params(p)[1]}) % {MINHASH_PRIME}) AS mh{p}"
+        for p in range(MINHASH_PERMS)
+    )
+    return f"""
+WITH {_shingle_cte_duck(n)},
+hashed AS (SELECT doc_id, {_HASH64_DUCK.format(x='sh')} AS h FROM sh),
+SIG AS (
+  SELECT doc_id, {mins}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {", ".join(f"mh{p}" for p in range(MINHASH_PERMS))} FROM SIG
+"""
+
+
+def _minhash_pairs_sql_duck(n: int = 3, threshold: float = 0.5) -> str:
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS sig FROM SIG".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(mh{b * rows_per_band + i} AS VARCHAR)" for i in range(rows_per_band)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    mins = ",\n         ".join(
+        f"MIN(((h & {MINHASH_MASK}) * {minhash_params(p)[0]} + {minhash_params(p)[1]}) % {MINHASH_PRIME}) AS mh{p}"
+        for p in range(MINHASH_PERMS)
+    )
+    return f"""
+WITH {_shingle_cte_duck(n)},
+hashed AS (SELECT doc_id, {_HASH64_DUCK.format(x='sh')} AS h FROM sh),
+SIG AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c JOIN dsh a ON a.doc_id = c.doc_a JOIN dsh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+"""
+
+
+_LANG_PAT = {
+    "en": "\\b(the|and|of|to|is)\\b",
+    "de": "\\b(der|die|und|das|ist)\\b",
+    "fr": "\\b(le|la|et|les|est)\\b",
+    "es": "\\b(el|los|que|de|es)\\b",
+}
+
+
+def _lang_sql_duck() -> str:
+    hits = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS h_{lang}" for lang, pat in _LANG_PAT.items()
+    )
+    langs = list(_LANG_PAT)
+    chain = "CASE "
+    for lang in langs:
+        conds = [f"h_{lang} > 0"] + [f"h_{lang} >= h_{o}" for o in langs if o != lang]
+        chain += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    chain += "ELSE 'und' END"
+    return f"""
+WITH h AS (SELECT doc_id, {hits} FROM documents)
+SELECT {chain} AS lang_guess, COUNT(*) AS n_docs
+FROM h GROUP BY 1
+"""
+
+
+_EMB_DUPS_DUCK = """
+SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       ROUND(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))), 6) AS cosine
+FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+WHERE list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))) >= 0.35
+"""
+
+_TOPK_DUCK = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
+  FROM q, embeddings c
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _sql_query(sql: str, *tables: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _reg(spark, sf_dir, *tables)
+        return spark.sql(sql)
+
+    return run
+
+
+def _q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.ws_token_count(F.col("text")).alias("ws_tokens"),
+        TXT.word_token_count(F.col("text")).alias("word_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(TXT.alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
+        F.round(TXT.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        TXT.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_QUALITY_DUCK = """
+SELECT doc_id,
+       ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / GREATEST(length(text), 1), 6) AS alpha_ratio,
+       ROUND(CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+             / GREATEST(length(text), 1), 6) AS punct_ratio,
+       ROUND(0.25 * LEAST(length(text) / 500.0, 1.0)
+           + 0.25 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / GREATEST(length(text), 1))
+           + 0.25 * (1.0 - LEAST(4.0 * CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) / GREATEST(length(text), 1), 1.0))
+           + 0.25 * LEAST(5.0 * len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b'))
+                          / GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+                                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 1.0), 6) AS quality
+FROM documents
+"""
+
+
+def _q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(TXT.lang_guess(F.col("text")).alias("lang_guess")).groupBy("lang_guess").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.3)
+
+
+def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = DD.doc_minhashes(_t(spark, sf_dir, "documents"), n=3)
+    cols = [F.element_at("minhashes", p + 1).alias(f"mh{p}") for p in range(MINHASH_PERMS)]
+    return mh.select("doc_id", *cols)
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3, jaccard_threshold=0.5)
+
+
+def _q_emb_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.embedding_dups(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def _q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.brute_force_topk(emb, queries, k=5).select("query_id", "vec_id", "cosine", "rank")
+
+
+def _q_emb_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ann_lsh_topk(emb, queries, k=5, n_bits=8, dim=64).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash64(_t(spark, sf_dir, "documents"), bits=32)
+
+
+def _simhash_sql_duck(bits: int = 32) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h & {1 << b}) > 0 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
+    )
+    recon = " + ".join(f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split({_NORM}, ' '))) AS tok FROM documents
+),
+hashed AS (SELECT doc_id, {_HASH64_DUCK.format(x='tok')} AS h FROM toks),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {recon} AS simhash FROM votes
+"""
+
+
+# --- spatial queries (rows-only driver check; numpy-oracled in tests/) ------
+
+
+def _q_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_public_space_mapper_spark.operators import joins
+
+    images = _images(spark, 2000)
+    layer = _polygon_layer(spark)
+    return (
+        joins.pip_join(images, layer)
+        .groupBy("space_category", "access")
+        .agg(F.count("*").alias("n_images"))
+    )
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_public_space_mapper_spark.operators import joins
+
+    images = _images(spark, 500)
+    layer = _polygon_layer(spark)
+    cents = joins.walkable_centroids(layer)
+    return joins.knn_join(images, cents, k=3, res=9, ring=2).select(
+        "image_id", "rank", "nn_category", "nn_access", F.round("dist", 3).alias("dist_m")
+    )
+
+
+def _q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_public_space_mapper_spark.operators import tiling
+
+    layer = _polygon_layer(spark)
+    tiles = tiling.rasterize_tiles(layer, tile_res=10, px=0.25)
+    return tiles.select(
+        "tile_cell", "space_category", "access", "mask_hash", F.round("area", 2).alias("area_m2")
+    )
+
+
+def _q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_public_space_mapper_spark.operators.imageops import verify_invariants
+
+    images = _images(spark, 200, with_pixels=True)
+    inv = verify_invariants(images)
+    return inv.agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.when(F.col("pixels_ok"), 1).otherwise(0)).alias("n_pixels_ok"),
+        F.sum(F.when(F.col("caption_ok"), 1).otherwise(0)).alias("n_caption_ok"),
+        F.round(F.min("psnr_db"), 2).alias("min_psnr_db"),
+    )
+
+
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_public_space_mapper_spark.operators.imageops import image_features
+
+    images = _images(spark, 200, with_pixels=True)
+    f = image_features(images)
+    return f.select(
+        "image_id",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("luma_std", 4).alias("luma_std"),
+        F.round("edge_energy", 4).alias("edge_energy"),
+    )
+
+
+def _q_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-encode throughput op: images per res-12 cell (skew showcase)."""
+    images = _images(spark, 5000)
+    return images.groupBy("cell").agg(F.count("*").alias("n_images"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational (oracle-checked)
+        "q1_pricing_summary": _sql_query(_Q1, "lineitem"),
+        "q3_segment_revenue": _sql_query(_Q3, "customer", "orders", "lineitem"),
+        "q5_region_nation_revenue": _sql_query(_Q5, "region", "nation", "customer", "orders", "lineitem", "supplier"),
+        "top3_orders_per_segment": _sql_query(_TOP3, "customer", "orders"),
+        "events_sessionization": _sql_query(_SESS_SPARK, "events"),
+        "events_grid_agg": _sql_query(_GRID, "events"),
+        # text / dedup / similarity (oracle-checked)
+        "doc_token_stats": _q_doc_tokens,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_guess": _q_lang,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard_pairs": _q_jaccard,
+        "minhash_signatures": _q_minhash_sig,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "embedding_dups": _q_emb_dups,
+        "embedding_topk": _q_emb_topk,
+        # spatial / image engine ops (rows-only here; numpy-oracled in tests/)
+        "ann_lsh_topk": _q_emb_ann,
+        "pip_assign_counts": _q_pip_counts,
+        "knn_walkable": _q_knn,
+        "tile_masks": _q_tiles,
+        "image_invariants": _q_image_invariants,
+        "image_features": _q_image_features,
+        "image_cell_histogram": _q_cell_histogram,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1,
+        "q3_segment_revenue": _Q3,
+        "q5_region_nation_revenue": _Q5,
+        "top3_orders_per_segment": _TOP3,
+        "events_sessionization": _SESS_DUCK,
+        "events_grid_agg": _GRID,
+        "doc_token_stats": _TOKEN_DUCK,
+        "doc_quality": _QUALITY_DUCK,
+        "doc_lang_guess": _lang_sql_duck(),
+        "exact_dedup": _DEDUP_DUCK,
+        "ngram_jaccard_pairs": _jaccard_sql_duck(3, 0.3),
+        "minhash_signatures": _minhash_sql_duck(3),
+        "minhash_lsh_pairs": _minhash_pairs_sql_duck(3, 0.5),
+        "simhash": _simhash_sql_duck(32),
+        "embedding_dups": _EMB_DUPS_DUCK,
+        "embedding_topk": _TOPK_DUCK,
+    }

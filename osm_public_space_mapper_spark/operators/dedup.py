@@ -25,9 +25,20 @@ from ..functions.text import doc_fingerprint, hash64, shingles
 
 MINHASH_PERMS = 12
 MINHASH_BANDS = 4  # rows per band = 12/4 = 3
-_MERSENNE = 2305843009213693951  # 2^61 - 1
-_SEED_A = 2654435761
+# 30-bit universe keeps a·x + b < 2^61 — identical (non-overflowing) int64
+# arithmetic in Spark and the DuckDB oracle
+MINHASH_MASK = (1 << 30) - 1
+MINHASH_PRIME = 1073741789  # largest prime < 2^30
+_SEED_A = 48271
 _SEED_B = 40503
+
+
+def minhash_params(perm: int) -> tuple[int, int]:
+    a = (_SEED_A * (perm + 1)) % MINHASH_PRIME
+    if a == 0:
+        a = 1
+    b = (_SEED_B * (perm + 7)) % MINHASH_PRIME
+    return a, b
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -40,11 +51,13 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def _minhash_col(sh_hash_col, perm: int):
-    """(a·x + b) mod M minwise hash for permutation `perm`."""
-    a = (_SEED_A * (perm + 1)) % _MERSENNE
-    b = (_SEED_B * (perm + 7)) % _MERSENNE
+    """min over shingles of (a·(x & MASK) + b) mod PRIME."""
+    a, b = minhash_params(perm)
     return F.array_min(
-        F.transform(sh_hash_col, lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
+        F.transform(
+            sh_hash_col,
+            lambda x: (x.bitwiseAND(F.lit(MINHASH_MASK)) * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME),
+        )
     )
 
 
@@ -137,13 +150,14 @@ def simhash64(documents: DataFrame, bits: int = 32) -> DataFrame:
             hash64,
         ).alias("th"),
     )
+    def _vote(bit: int):
+        def merge(acc, h):
+            return acc + F.when(h.bitwiseAND(F.lit(1 << bit)) > 0, 1).otherwise(-1)
+
+        return merge
+
     votes = [
-        F.aggregate(
-            F.col("th"),
-            F.lit(0),
-            lambda acc, h, b=b: acc + F.when(h.bitwiseAND(F.lit(1 << b)) > 0, 1).otherwise(-1),
-        ).alias(f"v{b}")
-        for b in range(bits)
+        F.aggregate(F.col("th"), F.lit(0), _vote(b)).alias(f"v{b}") for b in range(bits)
     ]
     v = toks.select("doc_id", *votes)
     sim = F.lit(0).cast("long")

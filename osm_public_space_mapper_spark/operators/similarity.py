@@ -1,0 +1,93 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+brute_force_topk  exact cosine top-k per query — the correctness baseline,
+                  expressed with built-in higher-order functions
+                  (zip_with/aggregate → JVM, no Python in the hot path)
+ann_lsh_topk      the scale path: sign-random-projection LSH buckets; queries
+                  probe only their bucket (+ multiprobe neighbors), then exact
+                  re-rank inside the candidate set. Recall measured in tests.
+
+At 100 TB the brute-force variant is a deliberately-broadcast query-side
+(queries are small) against a partitioned corpus — no corpus shuffle at all;
+the LSH variant turns the join into a bucket equi-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine_expr
+
+
+def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """queries(query_id, embedding) × corpus(vec_id, embedding) → top-k by
+    cosine. The corpus never shuffles; the small query side broadcasts."""
+    j = embeddings.alias("c").join(F.broadcast(queries.alias("q")))
+    scored = j.select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("c.vec_id").alias("vec_id"),
+        F.round(cosine_expr(F.col("q.embedding"), F.col("c.embedding")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _projection_matrix(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_bits, dim)).round(6).tolist()
+
+
+def lsh_bucket_expr(emb_col, planes: list[list[float]]):
+    """Sign-random-projection bucket id (int) from literal hyperplanes —
+    pure built-in expressions, vectorizable by codegen."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(v)) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(emb_col, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    dim: int | None = None,
+    multiprobe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket (or differ
+    by ≤ `multiprobe` bits); exact cosine re-rank inside candidates."""
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()[0])
+    planes = _projection_matrix(dim, n_bits, seed)
+    corpus = embeddings.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
+    q = queries.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
+    # multiprobe: explode query buckets to hamming-≤multiprobe neighbors
+    probes = [F.col("bucket")]
+    if multiprobe >= 1:
+        probes += [F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+    if multiprobe >= 2:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        ]
+    q = q.withColumn("probe", F.explode(F.array(*probes)))
+    j = q.alias("q").join(
+        corpus.alias("c"), F.col("q.probe") == F.col("c.bucket")
+    )
+    scored = j.select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("c.vec_id").alias("vec_id"),
+        F.round(cosine_expr(F.col("q.embedding"), F.col("c.embedding")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,76 @@
+"""Behavioral tests for dedup + similarity operators on synthetic
+near-duplicates (the driver oracle checks value parity; these check the
+operators actually FIND what they should)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_public_space_mapper_spark.operators import dedup as DD
+from osm_public_space_mapper_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    variant = base.replace("lazy", "sleepy")  # near-dup of base
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, "  THE   quick brown fox jumps over the lazy dog near the old river bank today "),  # normalized dup
+        (4, variant),  # near dup
+        (5, "completely different text about spark shuffles and partitions and skew handling"),
+        (6, "another unrelated document mentioning raster tiles and cell indexes and joins"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    out = {r.keep_doc_id: r.n_dups for r in DD.exact_dedup(docs).collect()}
+    assert out[1] == 3  # docs 1,2,3 share a fingerprint
+    assert out[4] == 1 and out[5] == 1 and out[6] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in DD.ngram_jaccard_pairs(docs, 3, 0.4).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 1.0
+    assert (1, 4) in pairs and 0.5 < pairs[(1, 4)] < 1.0
+    assert (1, 5) not in pairs and (5, 6) not in pairs
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in DD.minhash_lsh_pairs(docs, 3, 0.5).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert (1, 4) in pairs  # near-dup caught by at least one band
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_simhash_close_for_near_dups(docs):
+    sh = {r.doc_id: r.simhash for r in DD.simhash64(docs, bits=32).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert sh[1] == sh[2] == sh[3]
+    assert hamming(sh[1], sh[4]) <= 6
+    assert hamming(sh[1], sh[5]) > 6
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = SIM.brute_force_topk(emb, queries, k=5).collect()
+    approx = SIM.ann_lsh_topk(emb, queries, k=5, n_bits=4, dim=64, multiprobe=1).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # 8-bit LSH + multiprobe-1 recall floor
+    # rank-1 result always includes the query itself (cosine 1.0)
+    for q, s in approx_sets.items():
+        assert q in s

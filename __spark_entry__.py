@@ -28,7 +28,36 @@ from osm_public_space_mapper_spark.operators import similarity as SIM
 from osm_public_space_mapper_spark.operators.dedup import MINHASH_BANDS, MINHASH_MASK, MINHASH_PERMS, MINHASH_PRIME, minhash_params
 
 
+_PYFILES_SENT: set[int] = set()
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship the engine package to executor Python workers (the local
+    equivalent of `spark-submit --py-files engine.zip`). Needed whenever the
+    driver's cwd isn't the repo root — executors don't inherit driver
+    sys.path edits."""
+    key = id(spark)
+    if key in _PYFILES_SENT:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "osm_public_space_mapper_spark")
+    zpath = os.path.join(tempfile.gettempdir(), "osm_public_space_mapper_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _PYFILES_SENT.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_pyfiles(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -51,6 +80,7 @@ def _polygon_layer(spark: SparkSession) -> DataFrame:
     from osm_public_space_mapper_spark.operators.overlay_core import OverlayConfig
     from osm_public_space_mapper_spark.plans.pipeline import projected_bbox_ring, run_pipeline
 
+    _ensure_pyfiles(spark)
     key = id(spark)
     if key not in _LAYER_CACHE:
         ring = projected_bbox_ring(BBOX_4326["left"], BBOX_4326["bottom"], BBOX_4326["right"], BBOX_4326["top"])
@@ -62,10 +92,26 @@ def _polygon_layer(spark: SparkSession) -> DataFrame:
     return _LAYER_CACHE[key]
 
 
+_TILES_CACHE: dict[int, DataFrame] = {}
+
+
+def _tiles(spark: SparkSession) -> DataFrame:
+    """Per-tile class masks from the polygon layer (cached per session)."""
+    from osm_public_space_mapper_spark.operators import tiling
+
+    key = id(spark)
+    if key not in _TILES_CACHE:
+        t = tiling.rasterize_tiles(_polygon_layer(spark), tile_res=10, px=0.25).cache()
+        t.count()
+        _TILES_CACHE[key] = t
+    return _TILES_CACHE[key]
+
+
 def _images(spark: SparkSession, n: int, with_pixels: bool = False) -> DataFrame:
     from osm_public_space_mapper_spark.fixtures.images import generate_images, images_to_spark
     from osm_public_space_mapper_spark.operators import joins
 
+    _ensure_pyfiles(spark)
     df = images_to_spark(spark, generate_images(n, seed=7, with_pixels=with_pixels))
     df = joins.with_geotag(df)
     df = joins.project_points(df)
@@ -78,8 +124,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     n = _t(spark, "/root/testdata/sf0.001", "lineitem").count()  # scale driver
     images = _images(spark, min(int(n), 6000))
-    layer = _polygon_layer(spark)
-    assigned = joins.pip_join(images, layer)
+    assigned = joins.pip_join_raster(images, _tiles(spark))
     return (
         assigned.groupBy("space_category", "access")
         .agg(F.count("*").alias("n_images"))
@@ -460,9 +505,8 @@ def _q_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_public_space_mapper_spark.operators import joins
 
     images = _images(spark, 2000)
-    layer = _polygon_layer(spark)
     return (
-        joins.pip_join(images, layer)
+        joins.pip_join_raster(images, _tiles(spark))
         .groupBy("space_category", "access")
         .agg(F.count("*").alias("n_images"))
     )

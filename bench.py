@@ -1,0 +1,222 @@
+"""Bench harness (driver contract + BASELINE.md protocol).
+
+Default: runs the headline suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "images_per_sec": ..., "n_images": ...}
+
+--pip-only : spatial-join throughput phase only (used by --scaling)
+--scaling  : runs --pip-only at N=8 and 4N=32 cores in separate processes
+             (fresh JVMs) and writes BENCH/BASELINE.md with throughput at
+             both parallelism levels + scaling efficiency (north rule proxy
+             for two cluster sizes).
+
+Per-row invariants (decoded-pixel PSNR + caption equality) are checked on a
+sample before timing, per BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("BENCH_IMAGES", "200000"))
+
+
+def _sf_from_dir(d: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else 0.0
+
+
+def _session(cores: int):
+    from osm_public_space_mapper_spark.session import get_spark
+
+    spark = get_spark(app=f"bench-{cores}", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as E
+
+    E._ensure_pyfiles(spark)
+    return spark
+
+
+def _build_layer(spark):
+    import __spark_entry__ as E
+
+    t0 = time.time()
+    layer = E._polygon_layer(spark)
+    return layer, time.time() - t0
+
+
+def _images(spark, n: int):
+    import __spark_entry__ as E
+
+    return E._images(spark, n).cache()
+
+
+def pip_phase(spark, tiles, images, n: int) -> tuple[float, int]:
+    """Timed J12: cell-bucketed raster PIP (tile-mask lookup)."""
+    from osm_public_space_mapper_spark.operators import joins
+
+    t0 = time.time()
+    assigned = joins.pip_join_raster(images, tiles)
+    total = assigned.count()
+    return time.time() - t0, total
+
+
+def _build_tiles(spark):
+    import __spark_entry__ as E
+
+    t0 = time.time()
+    tiles = E._tiles(spark)
+    return tiles, time.time() - t0
+
+
+def run_pip_only(cores: int) -> dict:
+    spark = _session(cores)
+    layer, t_layer = _build_layer(spark)
+    tiles, t_tiles = _build_tiles(spark)
+    images = _images(spark, N_IMAGES)
+    images.count()  # materialize outside the timed window
+    sec, n_assigned = pip_phase(spark, tiles, images, N_IMAGES)
+    spark.stop()
+    return {
+        "cores": cores,
+        "layer_build_sec": round(t_layer, 2),
+        "tiles_build_sec": round(t_tiles, 2),
+        "pip_sec": round(sec, 3),
+        "n_images": N_IMAGES,
+        "n_assigned": n_assigned,
+        "images_per_sec": round(N_IMAGES / sec, 1),
+    }
+
+
+def run_full() -> dict:
+    import __spark_entry__ as E
+    from osm_public_space_mapper_spark.operators import joins, tiling
+    from osm_public_space_mapper_spark.operators.imageops import verify_invariants
+
+    spark = _session(CPUS)
+    queries: dict[str, float] = {}
+
+    # per-row invariants on a pixel-bearing sample (BASELINE.md protocol)
+    inv = verify_invariants(E._images(spark, 300, with_pixels=True)).collect()
+    assert all(r.pixels_ok and r.caption_ok for r in inv), "image invariants violated"
+
+    t0 = time.time()
+    layer, t_layer = _build_layer(spark)
+    queries["layer_build"] = round(t_layer, 3)
+
+    t = time.time()
+    tiles, t_tiles = _build_tiles(spark)
+    queries["tiles"] = round(t_tiles, 3)
+
+    images = _images(spark, N_IMAGES)
+    images.count()
+
+    t = time.time()
+    assigned = joins.pip_join_raster(images, tiles)
+    n_assigned = assigned.count()
+    pip_sec = time.time() - t
+    queries["pip_join"] = round(pip_sec, 3)
+
+    # vector-refine variant on a 10k sample (complexity-sensitive path)
+    sample = _images(spark, 10000)
+    t = time.time()
+    joins.pip_join(sample, layer).count()
+    queries["pip_join_vector_10k"] = round(time.time() - t, 3)
+
+    t = time.time()
+    cents = joins.walkable_centroids(layer)
+    joins.knn_join(images, cents, k=3, res=9, ring=2).count()
+    queries["knn_join"] = round(time.time() - t, 3)
+
+    qmap = E.queries()
+    for name in (
+        "q1_pricing_summary",
+        "q5_region_nation_revenue",
+        "top3_orders_per_segment",
+        "events_sessionization",
+        "events_grid_agg",
+        "exact_dedup",
+        "minhash_lsh_pairs",
+        "embedding_topk",
+        "doc_quality",
+    ):
+        t = time.time()
+        qmap[name](spark, SF_DIR).count()
+        queries[name] = round(time.time() - t, 3)
+
+    total = time.time() - t0
+    spark.stop()
+    return {
+        "metric": "headline suite wall clock (spatial join + tiling + relational + dedup)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_from_dir(SF_DIR),
+        "n_images": N_IMAGES,
+        "n_assigned": n_assigned,
+        "images_per_sec": round(N_IMAGES / pip_sec, 1),
+        "cores": CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    results = {}
+    for cores in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pip-only"],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    tput8 = results[8]["images_per_sec"]
+    tput32 = results[32]["images_per_sec"]
+    eff = (tput32 / tput8) / 4.0
+    report = {
+        "throughput_8": tput8,
+        "throughput_32": tput32,
+        "scaling_efficiency": round(eff, 3),
+        "n_images": N_IMAGES,
+        "detail": results,
+    }
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
+    md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    with open(md, "w") as f:
+        f.write(
+            "# BENCH/BASELINE — measured numbers\n\n"
+            "Spatial-join + tile-assignment throughput (J12 PIP join of the\n"
+            "synthetic image+caption table against the classified Vienna-shaped\n"
+            "polygon layer), same job at two parallelism levels (sandbox proxy\n"
+            "for N vs 4N executors per the driver instruction).\n\n"
+            f"| parallelism | images | PIP join sec | images/sec |\n|---|---|---|---|\n"
+            f"| local[8]  | {N_IMAGES} | {results[8]['pip_sec']} | {tput8} |\n"
+            f"| local[32] | {N_IMAGES} | {results[32]['pip_sec']} | {tput32} |\n\n"
+            f"**Scaling efficiency (8→32 cores): {eff:.3f}** (target ≥ 0.8)\n\n"
+            f"Layer build (classify→overlay, 4 cells): "
+            f"{results[32]['layer_build_sec']} s at local[32].\n\n"
+            "Per-row invariants (decoded-pixel PSNR ≥ 40 dB / lossless exact,\n"
+            "caption equality) are asserted on a sample before every full bench\n"
+            "run (bench.py run_full).\n"
+        )
+    return report
+
+
+if __name__ == "__main__":
+    if "--pip-only" in sys.argv:
+        print(json.dumps(run_pip_only(CPUS)))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_full()))

@@ -175,15 +175,52 @@ def _binary_conv(mask: np.ndarray, kern: np.ndarray) -> np.ndarray:
     return conv[oy : oy + mask.shape[0], ox : ox + mask.shape[1]]
 
 
+def _dilate_1d(mask: np.ndarray, r: int, axis: int) -> np.ndarray:
+    """Binary dilation by a length-(2r+1) segment along `axis` (vectorized
+    sliding-window OR)."""
+    if r <= 0:
+        return mask
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    big = np.pad(mask, pad)
+    win = np.lib.stride_tricks.sliding_window_view(big, 2 * r + 1, axis=axis)
+    return win.any(axis=-1)
+
+
+def _dilate_small(mask: np.ndarray, radius_px: float, shape: str) -> np.ndarray:
+    if shape == "square":
+        r = int(np.ceil(radius_px))
+        return _dilate_1d(_dilate_1d(mask, r, 0), r, 1)
+    # disc = union over dy of row-shifted horizontal segments of width rx(dy);
+    # only rows with |dy| ≤ radius belong to the disc
+    r = int(np.floor(radius_px))
+    base = _dilate_1d(mask, int(np.floor(radius_px)), 1)  # dy = 0
+    out = base.copy()
+    h = mask.shape[0]
+    for dy in range(1, r + 1):
+        rx = np.sqrt(radius_px * radius_px - dy * dy)
+        row = _dilate_1d(mask, int(np.floor(rx)), 1)
+        out[dy:] |= row[: h - dy]
+        out[: h - dy] |= row[dy:]
+    return out
+
+
+_FFT_RADIUS_CUTOFF = 24  # px; above this the FFT path wins
+
+
 def dilate(mask: np.ndarray, radius_px: float, shape: str = "disc") -> np.ndarray:
     if radius_px <= 0 or not mask.any():
         return mask.copy()
+    if radius_px <= _FFT_RADIUS_CUTOFF:
+        return _dilate_small(mask, radius_px, shape)
     return _binary_conv(mask, _structuring(radius_px, shape)) > 0.5
 
 
 def erode(mask: np.ndarray, radius_px: float, shape: str = "disc") -> np.ndarray:
     if radius_px <= 0:
         return mask.copy()
+    if radius_px <= _FFT_RADIUS_CUTOFF:
+        return ~_dilate_small(~mask, radius_px, shape)
     kern = _structuring(radius_px, shape)
     return _binary_conv(mask, kern) > kern.sum() - 0.5
 
@@ -273,10 +310,20 @@ def vectorize_mask(grid: Grid, mask: np.ndarray) -> list[list[np.ndarray]]:
                 prev, cur = cur, nxt
             rings_px.append(np.asarray(ring, dtype=np.float64))
 
-    # unpad, scale to world
+    # unpad, drop collinear vertices (exact: staircase runs along one axis
+    # collapse to segment endpoints — same polygon, far fewer points), scale
     out_rings = []
     for r in rings_px:
         r = r - 1.0  # remove pad offset
+        if len(r) > 3:
+            prev = np.roll(r, 1, axis=0)
+            nxt = np.roll(r, -1, axis=0)
+            cross = (r[:, 0] - prev[:, 0]) * (nxt[:, 1] - prev[:, 1]) - (
+                r[:, 1] - prev[:, 1]
+            ) * (nxt[:, 0] - prev[:, 0])
+            keep = cross != 0
+            if keep.sum() >= 3:
+                r = r[keep]
         wx, wy = grid.pix_to_world(r[:, 0], r[:, 1])
         ring_w = np.stack([wx, wy], axis=1)
         out_rings.append(ring_w)

@@ -94,7 +94,10 @@ def pip_join(images: DataFrame, layer: DataFrame, res: int = JOIN_RES_DEFAULT) -
     polys = explode_layer_to_cells(layer, res).select(
         "cell", "polygon_id", "space_category", "access", "geom"
     )
-    joined = imgs.join(polys, "cell")
+    # broadcast-free (north rule): force a shuffled hash join on the cell key —
+    # at 10^12 images neither side broadcasts, and polygon geometry rows are
+    # heavyweight payloads that must never be estimated into a broadcast
+    joined = imgs.join(polys.hint("shuffle_hash"), "cell")
 
     def _refine(pdf: pd.DataFrame) -> pd.DataFrame:
         # one PIP batch per distinct polygon in this cell group
@@ -117,6 +120,65 @@ def pip_join(images: DataFrame, layer: DataFrame, res: int = JOIN_RES_DEFAULT) -
         )
 
     return joined.groupBy("cell").applyInPandas(_refine, _PIP_OUT)
+
+
+_PIP_RASTER_OUT = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("space_category", T.StringType()),
+        T.StructField("access", T.StringType()),
+        T.StructField("tile_cell", T.LongType()),
+    ]
+)
+
+
+def pip_join_raster(images: DataFrame, tiles: DataFrame, tile_res: int = 10) -> DataFrame:
+    """J12 fast path: assign images via per-tile class-mask lookup.
+
+    The tile masks are rasterized from the SAME pixel lattice the vector
+    layer's rings trace, so a pixel lookup equals the vector PIP answer for
+    any point not exactly on a pixel-edge line (measure zero) — verified
+    against both the vector join and the numpy brute force in tests.
+
+    Cost per tile group: unpack each class mask once + O(1) per image —
+    independent of polygon complexity. Shuffle key = tile cell; the mask side
+    is hinted shuffle_hash (broadcast-free)."""
+    imgs = images.withColumn("tile_cell", lonlat_cell_udf(tile_res)(F.col("lon"), F.col("lat"))).select(
+        "image_id", "x", "y", "tile_cell"
+    )
+    t = tiles.select("tile_cell", "space_category", "access", "mask", "mask_w", "mask_h", "ox", "oy", "px")
+    joined = imgs.join(t.hint("shuffle_hash"), "tile_cell")
+
+    def _lookup(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_img, out_cat, out_acc, out_cell = [], [], [], []
+        cell = int(pdf["tile_cell"].iloc[0])
+        # images repeat once per class row; take unique points once
+        first_mask = pdf.drop_duplicates(subset=["space_category", "access"]).sort_values(
+            ["space_category", "access"]
+        )
+        pts = pdf.drop_duplicates(subset=["image_id"])
+        px_arr = pts["x"].to_numpy()
+        py_arr = pts["y"].to_numpy()
+        ids = pts["image_id"].to_numpy()
+        for _, row in first_mask.iterrows():
+            w, h = int(row["mask_w"]), int(row["mask_h"])
+            mask = np.unpackbits(np.frombuffer(row["mask"], dtype=np.uint8), count=w * h).reshape(h, w)
+            cx = np.floor((px_arr - row["ox"]) / row["px"]).astype(np.int64)
+            cy = np.floor((py_arr - row["oy"]) / row["px"]).astype(np.int64)
+            ok = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+            hit = np.zeros(len(ids), dtype=bool)
+            hit[ok] = mask[cy[ok], cx[ok]] > 0
+            if hit.any():
+                sel = np.nonzero(hit)[0]
+                out_img.extend(ids[sel].tolist())
+                out_cat.extend([row["space_category"]] * len(sel))
+                out_acc.extend([row["access"]] * len(sel))
+                out_cell.extend([cell] * len(sel))
+        return pd.DataFrame(
+            {"image_id": out_img, "space_category": out_cat, "access": out_acc, "tile_cell": out_cell}
+        )
+
+    return joined.groupBy("tile_cell").applyInPandas(_lookup, _PIP_RASTER_OUT)
 
 
 def project_points(images: DataFrame) -> DataFrame:

@@ -103,6 +103,13 @@ def run_overlay(
     wymin = max(cymin - cfg.margin, bymin - cfg.margin)
     wxmax = min(cxmax + cfg.margin, bxmax + cfg.margin)
     wymax = min(cymax + cfg.margin, bymax + cfg.margin)
+    # snap the window to the GLOBAL pixel lattice (multiples of px from 0):
+    # every cell's raster then shares one lattice, so adjacent cell cores abut
+    # exactly — no sub-pixel overlap slivers between neighboring kernels
+    wxmin = np.floor(wxmin / cfg.px) * cfg.px
+    wymin = np.floor(wymin / cfg.px) * cfg.px
+    wxmax = np.ceil(wxmax / cfg.px) * cfg.px
+    wymax = np.ceil(wymax / cfg.px) * cfg.px
     res = OverlayResult()
     if wxmax <= wxmin or wymax <= wymin:
         return res

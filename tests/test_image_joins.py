@@ -67,6 +67,21 @@ def test_pip_join_matches_bruteforce(spark, layer_df, images_df):
     assert len(engine) == N_IMAGES
 
 
+def test_pip_raster_equals_vector(spark, layer_df, images_df):
+    """The tile-mask fast path (pip_join_raster) must agree with the exact
+    vector PIP join on every image — masks and rings share one lattice."""
+    vector = {
+        r.image_id: (r.space_category, r.access)
+        for r in joins.pip_join(images_df, layer_df).collect()
+    }
+    tiles = tiling.rasterize_tiles(layer_df, tile_res=10, px=0.25)
+    raster = {
+        r.image_id: (r.space_category, r.access)
+        for r in joins.pip_join_raster(images_df, tiles).collect()
+    }
+    assert raster == vector
+
+
 def test_pip_assignment_distribution(spark, layer_df, images_df):
     assigned = joins.pip_join(images_df, layer_df)
     counts = {(r.space_category, r.access): r.n for r in

@@ -1,0 +1,91 @@
+"""Salted two-stage aggregation, GeoJSON export, pipeline resume
+(SURVEY.md §5.2 layers 5-6; north rule salting + lineage requirements)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_public_space_mapper_spark.fixtures.elements import BBOX_4326, elements_to_spark
+from osm_public_space_mapper_spark.fixtures.images import generate_images, images_to_spark
+from osm_public_space_mapper_spark.operators import joins, skew
+from osm_public_space_mapper_spark.operators.overlay_core import OverlayConfig
+from osm_public_space_mapper_spark.plans.pipeline import projected_bbox_ring, run_pipeline
+from osm_public_space_mapper_spark.sources.geojson import save_geojson
+from osm_public_space_mapper_spark.tables.icelite import IceliteTable
+
+
+@pytest.fixture(scope="module")
+def layer(spark):
+    ring = projected_bbox_ring(BBOX_4326["left"], BBOX_4326["bottom"], BBOX_4326["right"], BBOX_4326["top"])
+    env = (float(ring[:, 0].min()), float(ring[:, 1].min()), float(ring[:, 0].max()), float(ring[:, 1].max()))
+    cfg = OverlayConfig(px=0.25, margin=64.0, bbox=env, bbox_ring=ring)
+    return run_pipeline(elements_to_spark(spark), cfg, overlay_res=8).cache()
+
+
+def test_salted_count_equals_plain(spark):
+    imgs = images_to_spark(spark, generate_images(5000, seed=7, with_pixels=False))
+    imgs = joins.with_cells(joins.project_points(joins.with_geotag(imgs)))
+    plain = {r.cell: r.n for r in imgs.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    salted = {r.cell: r.n for r in skew.salted_count(imgs, ["cell"]).collect()}
+    assert plain == salted
+    # the fixture really is skewed: hottest cell ≫ median
+    counts = sorted(plain.values())
+    assert counts[-1] > 5 * counts[len(counts) // 2]
+
+
+def test_merged_layer_two_stage_union(spark, layer):
+    merged = skew.merged_layer(layer).collect()
+    keys = {(r.space_category, r.access) for r in merged}
+    per_cell = layer.groupBy("space_category", "access").agg(
+        F.round(F.sum("area"), 6).alias("area")
+    ).collect()
+    assert keys == {(r.space_category, r.access) for r in per_cell}
+    areas_merged = {(r.space_category, r.access): r.area for r in merged}
+    areas_plain = {(r.space_category, r.access): r.area for r in per_cell}
+    for k in areas_plain:
+        assert abs(areas_merged[k] - areas_plain[k]) < 1e-6
+
+
+def test_geojson_export(spark, layer, tmp_path):
+    merged = skew.merged_layer(layer).collect()
+    out = str(tmp_path / "public_space.geojson")
+    fc = save_geojson(merged, out)
+    with open(out) as f:
+        loaded = json.load(f)
+    assert loaded["type"] == "FeatureCollection"
+    assert len(loaded["features"]) == len(merged)
+    for feat in loaded["features"]:
+        assert feat["properties"]["space_category"] is not None
+        assert feat["properties"]["access"] is not None
+        coords = feat["geometry"]["coordinates"]
+        assert coords and coords[0]
+        # all coordinates inside (slightly padded) Rabenhof bbox in 4326
+        for poly in coords:
+            for ring in poly:
+                for lon, lat in ring:
+                    assert 16.39 < lon < 16.41 and 48.19 < lat < 48.20
+
+
+def test_pipeline_resume_via_icelite(spark, layer, tmp_path):
+    """Kill-after-stage-k simulation: commit a subset of overlay cells, then
+    resume — identical final table, completed partitions skipped."""
+    table = IceliteTable(str(tmp_path / "layer_tbl"))
+    cells = sorted(r.overlay_cell for r in layer.select("overlay_cell").distinct().collect())
+    assert len(cells) >= 2
+    first = cells[: len(cells) // 2]
+    # partial run commits only some cells (simulated crash after stage k)
+    table.commit(layer.filter(F.col("overlay_cell").isin(first)), "overlay_cell", stage="overlay")
+    done = table.completed_partitions("overlay")
+    assert done == {str(c) for c in first}
+    # resume: full dataset offered, only missing partitions written
+    table.commit_resumable(layer, "overlay_cell", stage="overlay")
+    back = table.read(spark)
+    assert back.count() == layer.count()
+    # lineage covers every partition exactly once
+    parts = [m["partition"] for m in table.lineage()]
+    assert sorted(parts) == sorted(str(c) for c in cells)
+    # content equality with the in-memory layer (area multiset)
+    a1 = sorted(round(r.area, 6) for r in layer.select("area").collect())
+    a2 = sorted(round(r.area, 6) for r in back.select("area").collect())
+    assert a1 == a2

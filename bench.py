@@ -82,12 +82,22 @@ def _build_tiles(spark):
 
 
 def run_pip_only(cores: int) -> dict:
+    from pyspark.sql import functions as F
+    from osm_public_space_mapper_spark.operators import joins
+
     spark = _session(cores)
     layer, t_layer = _build_layer(spark)
     tiles, t_tiles = _build_tiles(spark)
     images = _images(spark, N_IMAGES)
     images.count()  # materialize outside the timed window
     sec, n_assigned = pip_phase(spark, tiles, images, N_IMAGES)
+    # determinism across parallelism levels (SURVEY §5.2 layer 7): one
+    # order-insensitive hash of the full assignment set
+    out_hash = (
+        joins.pip_join_raster(images, tiles)
+        .agg(F.expr("bit_xor(xxhash64(image_id, space_category, access))").alias("h"))
+        .collect()[0]["h"]
+    )
     spark.stop()
     return {
         "cores": cores,
@@ -97,6 +107,7 @@ def run_pip_only(cores: int) -> dict:
         "n_images": N_IMAGES,
         "n_assigned": n_assigned,
         "images_per_sec": round(N_IMAGES / sec, 1),
+        "output_hash": int(out_hash),
     }
 
 
@@ -184,10 +195,12 @@ def run_scaling() -> dict:
     tput8 = results[8]["images_per_sec"]
     tput32 = results[32]["images_per_sec"]
     eff = (tput32 / tput8) / 4.0
+    same_output = results[8].get("output_hash") == results[32].get("output_hash")
     report = {
         "throughput_8": tput8,
         "throughput_32": tput32,
         "scaling_efficiency": round(eff, 3),
+        "identical_output_across_parallelism": same_output,
         "n_images": N_IMAGES,
         "detail": results,
     }
@@ -204,6 +217,8 @@ def run_scaling() -> dict:
             f"| local[8]  | {N_IMAGES} | {results[8]['pip_sec']} | {tput8} |\n"
             f"| local[32] | {N_IMAGES} | {results[32]['pip_sec']} | {tput32} |\n\n"
             f"**Scaling efficiency (8→32 cores): {eff:.3f}** (target ≥ 0.8)\n\n"
+            f"Identical assignment output hash at both parallelism levels: "
+            f"**{same_output}** (determinism check, SURVEY §5.2 layer 7).\n\n"
             f"Layer build (classify→overlay, 4 cells): "
             f"{results[32]['layer_build_sec']} s at local[32].\n\n"
             "Per-row invariants (decoded-pixel PSNR ≥ 40 dB / lossless exact,\n"

@@ -182,6 +182,30 @@ SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
 ) t WHERE rnk <= 3
 """
 
+_ANTI = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+_PIVOT = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click'    THEN value ELSE 0 END)  AS click_value,
+       SUM(CASE WHEN event_type = 'view'     THEN value ELSE 0 END)  AS view_value,
+       SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)  AS purchase_value,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+_ROLLUP = """
+SELECT r.r_name AS region, n.n_name AS nation,
+       COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 2) AS total_balance
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
 _GRID = """
 SELECT CAST(FLOOR((value - FLOOR(value)) * 16) AS BIGINT) * 16
        + CAST(FLOOR(((user_id % 997) / 997.0) * 16) AS BIGINT) AS cell_id,
@@ -572,6 +596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_segment_revenue": _sql_query(_Q3, "customer", "orders", "lineitem"),
         "q5_region_nation_revenue": _sql_query(_Q5, "region", "nation", "customer", "orders", "lineitem", "supplier"),
         "top3_orders_per_segment": _sql_query(_TOP3, "customer", "orders"),
+        "customers_without_orders": _sql_query(_ANTI, "customer", "orders"),
+        "events_pivot_by_type": _sql_query(_PIVOT, "events"),
+        "rollup_customer_balance": _sql_query(_ROLLUP, "region", "nation", "customer"),
         "events_sessionization": _sql_query(_SESS_SPARK, "events"),
         "events_grid_agg": _sql_query(_GRID, "events"),
         # text / dedup / similarity (oracle-checked)
@@ -602,6 +629,9 @@ def oracle_sql() -> dict[str, str]:
         "q3_segment_revenue": _Q3,
         "q5_region_nation_revenue": _Q5,
         "top3_orders_per_segment": _TOP3,
+        "customers_without_orders": _ANTI,
+        "events_pivot_by_type": _PIVOT,
+        "rollup_customer_balance": _ROLLUP,
         "events_sessionization": _SESS_DUCK,
         "events_grid_agg": _GRID,
         "doc_token_stats": _TOKEN_DUCK,

@@ -58,17 +58,27 @@ def _build_layer(spark):
 
 
 def _images(spark, n: int):
-    import __spark_entry__ as E
+    """Bench image table: distributed JVM synthesis for large n (no pixel
+    payloads; geotag invariant + hotspot skew preserved)."""
+    from osm_public_space_mapper_spark.fixtures.images import synth_images_spark
+    from osm_public_space_mapper_spark.operators import joins
 
-    return E._images(spark, n).cache()
+    df = synth_images_spark(spark, n)
+    df = joins.with_geotag(df)
+    df = joins.project_points(df)
+    return joins.with_cells(df).cache()
+
+
+PIP_SALT = int(os.environ.get("BENCH_SALT", "8"))
 
 
 def pip_phase(spark, tiles, images, n: int) -> tuple[float, int]:
-    """Timed J12: cell-bucketed raster PIP (tile-mask lookup)."""
+    """Timed J12: cell-bucketed raster PIP (tile-mask lookup), hotspot cells
+    salted into PIP_SALT uniform sub-groups."""
     from osm_public_space_mapper_spark.operators import joins
 
     t0 = time.time()
-    assigned = joins.pip_join_raster(images, tiles)
+    assigned = joins.pip_join_raster(images, tiles, salt=PIP_SALT)
     total = assigned.count()
     return time.time() - t0, total
 
@@ -94,7 +104,7 @@ def run_pip_only(cores: int) -> dict:
     # determinism across parallelism levels (SURVEY §5.2 layer 7): one
     # order-insensitive hash of the full assignment set
     out_hash = (
-        joins.pip_join_raster(images, tiles)
+        joins.pip_join_raster(images, tiles, salt=PIP_SALT)
         .agg(F.expr("bit_xor(xxhash64(image_id, space_category, access))").alias("h"))
         .collect()[0]["h"]
     )

@@ -87,6 +87,40 @@ def generate_images(n: int, seed: int = 42, with_pixels: bool = True) -> "pd.Dat
     )
 
 
+def synth_images_spark(spark, n: int, seed: int = 42):
+    """Distributed (JVM-expression) synthesis of the images table WITHOUT
+    pixel payloads — for throughput benches at row counts where driver-side
+    generation would bottleneck. Preserves the geotag-from-phash invariant
+    and the two-hotspot Zipfian skew (~20% of rows in two dense cells)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n)
+    h1 = F.abs(F.xxhash64(F.col("id"), F.lit(seed)))
+    h2 = F.abs(F.xxhash64(F.col("id"), F.lit(seed + 1)))
+    hot = F.pmod(F.col("id"), F.lit(5)) == 0  # 20%
+    which = F.pmod(h2, F.lit(2))
+    hx = F.when(which == 0, F.lit(_HOTSPOTS[0][0])).otherwise(F.lit(_HOTSPOTS[1][0]))
+    hy = F.when(which == 0, F.lit(_HOTSPOTS[0][1])).otherwise(F.lit(_HOTSPOTS[1][1]))
+    fx = F.when(hot, hx + (F.pmod(h1, F.lit(2001)) - 1000) / 100000.0).otherwise(
+        F.pmod(h1, F.lit(998001)).cast("double") / 1000000.0 + 0.001
+    )
+    fy = F.when(hot, hy + (F.pmod(h2, F.lit(2001)) - 1000) / 100000.0).otherwise(
+        F.pmod(h2, F.lit(998001)).cast("double") / 1000000.0 + 0.001
+    )
+    phash = F.shiftleft(F.floor(fy * F.lit(float(2**32))).cast("long"), 32).bitwiseOR(
+        F.floor(fx * F.lit(float(2**32))).cast("long")
+    )
+    return df.select(
+        F.concat(F.lit(f"img-{seed:04x}-"), F.lpad(F.col("id").cast("string"), 10, "0")).alias("image_id"),
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit(32).alias("w"),
+        F.lit(32).alias("h"),
+        F.lit("raw").alias("fmt"),
+        F.concat(F.lit("scene "), F.col("id").cast("string")).alias("caption"),
+        phash.alias("phash"),
+    )
+
+
 def images_to_spark(spark, pdf=None, n: int = 2000, seed: int = 42, with_pixels: bool = True):
     from pyspark.sql import types as T
 

@@ -119,6 +119,32 @@ def clean_chain(df: DataFrame) -> DataFrame:
     return df
 
 
+def clean_chain_with_metrics(df: DataFrame):
+    """clean_chain + an Observation carrying the reference's diagnostic
+    counts (A4; the reference prints the empty-geometry count,
+    clean_data.py:34-36). Returns (cleaned_df, observation); metrics are
+    available after any action on the result."""
+    from pyspark.sql import Observation
+
+    df = init_attribute_columns(df)
+    obs = Observation("clean_metrics")
+    df = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(F.col("geom").isNull() | F.col("geom_kind").isNull(), 1).otherwise(0)).alias("n_invalid"),
+        F.sum(F.when(F.col("geom").isNotNull() & (F.size("geom") == 0), 1).otherwise(0)).alias("n_empty"),
+        F.sum(F.when(F.size("tags") == 0, 1).otherwise(0)).alias("n_untagged"),
+    )
+    df = drop_invalid_geometries(df)
+    df = drop_empty_geometries(df)
+    df = drop_elements_without_tags(df)
+    df = drop_points_apart_from_entrances(df)
+    df = drop_irrelevant_elements_based_on_tags(df)
+    df = clean_geometries(df)
+    df = project_geometries(df)
+    return df, obs
+
+
 def drop_road_rail_walking(df: DataFrame) -> DataFrame:
     """reference clean_data.py:239-240 (null space_type survives)."""
     return df.filter(

@@ -87,39 +87,39 @@ _PIP_OUT = T.StructType(
 def pip_join(images: DataFrame, layer: DataFrame, res: int = JOIN_RES_DEFAULT) -> DataFrame:
     """Assign each image to the polygon covering it (J12).
 
-    Plan: images(cell) ⋈ layer(cell) → groupBy(cell) → vectorized PIP refine.
-    Points are projected once (x,y already attached by caller via project_points).
-    """
+    Plan: COGROUP images and exploded polygons on the cell key, refine with a
+    vectorized PIP per cell group. Cogroup (not join) is load-bearing: a
+    row-level join would duplicate each heavyweight polygon-geometry payload
+    onto every matching image row; cogrouping ships each polygon to its cell
+    exactly once. Broadcast-free by construction — both sides shuffle on the
+    cell key only."""
     imgs = images.select("image_id", "x", "y", "cell")
     polys = explode_layer_to_cells(layer, res).select(
         "cell", "polygon_id", "space_category", "access", "geom"
     )
-    # broadcast-free (north rule): force a shuffled hash join on the cell key —
-    # at 10^12 images neither side broadcasts, and polygon geometry rows are
-    # heavyweight payloads that must never be estimated into a broadcast
-    joined = imgs.join(polys.hint("shuffle_hash"), "cell")
 
-    def _refine(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one PIP batch per distinct polygon in this cell group
+    def _refine(key, img_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
         out_img, out_pid, out_cat, out_acc = [], [], [], []
-        for pid, grp in pdf.groupby("polygon_id", sort=True):
-            rings = np_parts(grp["geom"].iloc[0])
-            if not rings:
-                continue
-            px = grp["x"].to_numpy()
-            py = grp["y"].to_numpy()
-            hit = points_in_polygon(px, py, rings)
-            if hit.any():
-                sel = grp.loc[hit]
-                out_img.extend(sel["image_id"].tolist())
-                out_pid.extend([pid] * int(hit.sum()))
-                out_cat.extend(sel["space_category"].tolist())
-                out_acc.extend(sel["access"].tolist())
+        if len(img_pdf) and len(poly_pdf):
+            px = img_pdf["x"].to_numpy()
+            py = img_pdf["y"].to_numpy()
+            ids = img_pdf["image_id"].to_numpy()
+            for _, prow in poly_pdf.sort_values("polygon_id").iterrows():
+                rings = np_parts(prow["geom"])
+                if not rings:
+                    continue
+                hit = points_in_polygon(px, py, rings)
+                if hit.any():
+                    sel = np.nonzero(hit)[0]
+                    out_img.extend(ids[sel].tolist())
+                    out_pid.extend([prow["polygon_id"]] * len(sel))
+                    out_cat.extend([prow["space_category"]] * len(sel))
+                    out_acc.extend([prow["access"]] * len(sel))
         return pd.DataFrame(
             {"image_id": out_img, "polygon_id": out_pid, "space_category": out_cat, "access": out_acc}
         )
 
-    return joined.groupBy("cell").applyInPandas(_refine, _PIP_OUT)
+    return imgs.groupBy("cell").cogroup(polys.groupBy("cell")).applyInPandas(_refine, _PIP_OUT)
 
 
 _PIP_RASTER_OUT = T.StructType(
@@ -132,7 +132,72 @@ _PIP_RASTER_OUT = T.StructType(
 )
 
 
-def pip_join_raster(images: DataFrame, tiles: DataFrame, tile_res: int = 10) -> DataFrame:
+def subdivide_tiles(tiles: DataFrame, group_res: int) -> DataFrame:
+    """Split per-tile class masks into per-subcell mask slices at `group_res`.
+
+    Parallelism of the raster PIP join is bounded by the number of groups;
+    coarse tiles (res 10 = 256 m) would cap it at a handful of tasks on a
+    small extent. Slicing each mask to its res-`group_res` descendants keeps
+    total payload constant while multiplying group count by 4^(Δres)."""
+    from ..cells.grid import cell_bbox as cell_bbox_np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("tile_cell", T.LongType()),
+            T.StructField("space_category", T.StringType()),
+            T.StructField("access", T.StringType()),
+            T.StructField("mask", T.BinaryType()),
+            T.StructField("mask_w", T.IntegerType()),
+            T.StructField("mask_h", T.IntegerType()),
+            T.StructField("ox", T.DoubleType()),
+            T.StructField("oy", T.DoubleType()),
+            T.StructField("px", T.DoubleType()),
+        ]
+    )
+
+    def _slice(batches):
+        from ..cells.grid import decode_cells
+
+        for pdf in batches:
+            out = {f.name: [] for f in out_schema.fields}
+            for _, row in pdf.iterrows():
+                w, h = int(row["mask_w"]), int(row["mask_h"])
+                mask = np.unpackbits(np.frombuffer(row["mask"], dtype=np.uint8), count=w * h).reshape(h, w)
+                res, ix, iy = decode_cells(np.array([row["tile_cell"]], dtype=np.int64))
+                shift = group_res - int(res[0])
+                n = 1 << shift  # subcells per axis
+                sw, sh = w // n, h // n
+                for sx in range(n):
+                    for sy in range(n):
+                        sub = mask[sy * sh : (sy + 1) * sh, sx * sw : (sx + 1) * sw]
+                        if not sub.any():
+                            continue
+                        sub_ix = (int(ix[0]) << shift) | sx
+                        sub_iy = (int(iy[0]) << shift) | sy
+                        sub_cell = (group_res << 58) | ((sub_ix & ((1 << 29) - 1)) << 29) | (sub_iy & ((1 << 29) - 1))
+                        out["tile_cell"].append(sub_cell)
+                        out["space_category"].append(row["space_category"])
+                        out["access"].append(row["access"])
+                        out["mask"].append(np.packbits(sub, axis=None).tobytes())
+                        out["mask_w"].append(sw)
+                        out["mask_h"].append(sh)
+                        out["ox"].append(row["ox"] + sx * sw * row["px"])
+                        out["oy"].append(row["oy"] + sy * sh * row["px"])
+                        out["px"].append(row["px"])
+            yield pd.DataFrame(out)
+
+    return tiles.select(
+        "tile_cell", "space_category", "access", "mask", "mask_w", "mask_h", "ox", "oy", "px"
+    ).mapInPandas(_slice, out_schema)
+
+
+def pip_join_raster(
+    images: DataFrame,
+    tiles: DataFrame,
+    tile_res: int = 10,
+    group_res: int = 13,
+    salt: int = 0,
+) -> DataFrame:
     """J12 fast path: assign images via per-tile class-mask lookup.
 
     The tile masks are rasterized from the SAME pixel lattice the vector
@@ -143,42 +208,56 @@ def pip_join_raster(images: DataFrame, tiles: DataFrame, tile_res: int = 10) -> 
     Cost per tile group: unpack each class mask once + O(1) per image —
     independent of polygon complexity. Shuffle key = tile cell; the mask side
     is hinted shuffle_hash (broadcast-free)."""
-    imgs = images.withColumn("tile_cell", lonlat_cell_udf(tile_res)(F.col("lon"), F.col("lat"))).select(
+    imgs = images.withColumn("tile_cell", lonlat_cell_udf(group_res)(F.col("lon"), F.col("lat"))).select(
         "image_id", "x", "y", "tile_cell"
     )
-    t = tiles.select("tile_cell", "space_category", "access", "mask", "mask_w", "mask_h", "ox", "oy", "px")
-    joined = imgs.join(t.hint("shuffle_hash"), "tile_cell")
+    t = subdivide_tiles(tiles, group_res) if group_res > tile_res else tiles.select(
+        "tile_cell", "space_category", "access", "mask", "mask_w", "mask_h", "ox", "oy", "px"
+    )
+    group_keys = ["tile_cell"]
+    if salt > 0:
+        # explicit skew salting (north rule): dense urban cells split into
+        # `salt` uniform sub-groups; mask slices replicate per salt id (small
+        # after subdivision), image rows hash-distribute across salt ids
+        # NB: cast both sides to the same type — cogroup keys of differing
+        # integer widths hash-partition differently and silently fail to meet
+        imgs = imgs.withColumn("_salt", F.pmod(F.xxhash64(F.col("image_id")), F.lit(salt)).cast("int"))
+        t = t.withColumn("_salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(salt)])))
+        group_keys = ["tile_cell", "_salt"]
 
-    def _lookup(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _lookup(key, img_pdf: pd.DataFrame, mask_pdf: pd.DataFrame) -> pd.DataFrame:
         out_img, out_cat, out_acc, out_cell = [], [], [], []
-        cell = int(pdf["tile_cell"].iloc[0])
-        # images repeat once per class row; take unique points once
-        first_mask = pdf.drop_duplicates(subset=["space_category", "access"]).sort_values(
-            ["space_category", "access"]
-        )
-        pts = pdf.drop_duplicates(subset=["image_id"])
-        px_arr = pts["x"].to_numpy()
-        py_arr = pts["y"].to_numpy()
-        ids = pts["image_id"].to_numpy()
-        for _, row in first_mask.iterrows():
-            w, h = int(row["mask_w"]), int(row["mask_h"])
-            mask = np.unpackbits(np.frombuffer(row["mask"], dtype=np.uint8), count=w * h).reshape(h, w)
-            cx = np.floor((px_arr - row["ox"]) / row["px"]).astype(np.int64)
-            cy = np.floor((py_arr - row["oy"]) / row["px"]).astype(np.int64)
-            ok = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
-            hit = np.zeros(len(ids), dtype=bool)
-            hit[ok] = mask[cy[ok], cx[ok]] > 0
-            if hit.any():
-                sel = np.nonzero(hit)[0]
-                out_img.extend(ids[sel].tolist())
-                out_cat.extend([row["space_category"]] * len(sel))
-                out_acc.extend([row["access"]] * len(sel))
-                out_cell.extend([cell] * len(sel))
+        if len(img_pdf) and len(mask_pdf):
+            cell = int(key[0])
+            px_arr = img_pdf["x"].to_numpy()
+            py_arr = img_pdf["y"].to_numpy()
+            ids = img_pdf["image_id"].to_numpy()
+            for _, row in mask_pdf.sort_values(["space_category", "access"]).iterrows():
+                w, h = int(row["mask_w"]), int(row["mask_h"])
+                mask = np.unpackbits(np.frombuffer(row["mask"], dtype=np.uint8), count=w * h).reshape(h, w)
+                cx = np.floor((px_arr - row["ox"]) / row["px"]).astype(np.int64)
+                cy = np.floor((py_arr - row["oy"]) / row["px"]).astype(np.int64)
+                ok = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+                hit = np.zeros(len(ids), dtype=bool)
+                hit[ok] = mask[cy[ok], cx[ok]] > 0
+                if hit.any():
+                    sel = np.nonzero(hit)[0]
+                    out_img.extend(ids[sel].tolist())
+                    out_cat.extend([row["space_category"]] * len(sel))
+                    out_acc.extend([row["access"]] * len(sel))
+                    out_cell.extend([cell] * len(sel))
         return pd.DataFrame(
             {"image_id": out_img, "space_category": out_cat, "access": out_acc, "tile_cell": out_cell}
         )
 
-    return joined.groupBy("tile_cell").applyInPandas(_lookup, _PIP_RASTER_OUT)
+    # cogroup, not join: each (tile, class) mask crosses the wire once per
+    # tile group instead of once per image row (which would be O(images) ×
+    # 100KB mask payloads). Both sides shuffle on the group key — broadcast-free.
+    return (
+        imgs.groupBy(*group_keys)
+        .cogroup(t.groupBy(*group_keys))
+        .applyInPandas(_lookup, _PIP_RASTER_OUT)
+    )
 
 
 def project_points(images: DataFrame) -> DataFrame:

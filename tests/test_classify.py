@@ -132,3 +132,15 @@ def test_road_width_matches_oracle(spark):
         expected = O.road_width(rows[eid]["tags"])
         assert abs(w - expected) < 1e-9, (eid, w, expected, rows[eid]["tags"])
     assert len(widths) >= 8
+
+
+def test_clean_chain_metrics(spark):
+    from osm_public_space_mapper_spark.operators.clean import clean_chain_with_metrics
+
+    df, obs = clean_chain_with_metrics(elements_to_spark(spark))
+    df.count()  # trigger action so the observation materializes
+    m = obs.get
+    assert m["n_invalid"] == 3
+    assert m["n_empty"] == 4
+    assert m["n_untagged"] == 60
+    assert m["n_input"] == 147

@@ -89,3 +89,22 @@ def test_pipeline_resume_via_icelite(spark, layer, tmp_path):
     a1 = sorted(round(r.area, 6) for r in layer.select("area").collect())
     a2 = sorted(round(r.area, 6) for r in back.select("area").collect())
     assert a1 == a2
+
+
+def test_salted_pip_join_equals_unsalted(spark, layer):
+    """Regression: salted cogroup keys must co-locate with mask rows (a
+    bigint/int key-type mismatch silently dropped ~half the groups)."""
+    from osm_public_space_mapper_spark.fixtures.images import synth_images_spark
+    from osm_public_space_mapper_spark.operators import tiling
+
+    imgs = synth_images_spark(spark, 50000)
+    imgs = joins.with_cells(joins.project_points(joins.with_geotag(imgs))).cache()
+    tiles = tiling.rasterize_tiles(layer, tile_res=10, px=0.25).cache()
+    h = {}
+    for salt in (0, 8):
+        a = joins.pip_join_raster(imgs, tiles, salt=salt)
+        assert a.count() == 50000
+        h[salt] = a.agg(
+            F.expr("bit_xor(xxhash64(image_id, space_category, access))").alias("h")
+        ).collect()[0]["h"]
+    assert h[0] == h[8]

@@ -80,13 +80,40 @@ def _polygon_layer(spark: SparkSession) -> DataFrame:
     from osm_public_space_mapper_spark.operators.overlay_core import OverlayConfig
     from osm_public_space_mapper_spark.plans.pipeline import projected_bbox_ring, run_pipeline
 
+    import os
+    import tempfile
+
     _ensure_pyfiles(spark)
     key = id(spark)
     if key not in _LAYER_CACHE:
-        ring = projected_bbox_ring(BBOX_4326["left"], BBOX_4326["bottom"], BBOX_4326["right"], BBOX_4326["top"])
-        env = (float(ring[:, 0].min()), float(ring[:, 1].min()), float(ring[:, 0].max()), float(ring[:, 1].max()))
-        cfg = OverlayConfig(px=0.25, margin=64.0, bbox=env, bbox_ring=ring)
-        layer = run_pipeline(elements_to_spark(spark), cfg, overlay_res=8).cache()
+        # deterministic fixture layer → persist once per machine (content is
+        # a pure function of the seed/config; benches reuse across sessions).
+        # Cache key includes a fingerprint of the geometry-pipeline sources so
+        # code changes invalidate it; OSPM_LAYER_CACHE=0 disables entirely.
+        import hashlib
+
+        pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)), "osm_public_space_mapper_spark")
+        hasher = hashlib.sha1()
+        for rel in ("operators/overlay_core.py", "plans/pipeline.py", "geo/raster.py",
+                    "geo/kernels.py", "geo/laea.py", "fixtures/elements.py",
+                    "functions/classify.py", "functions/predicates.py", "operators/barriers.py"):
+            with open(os.path.join(pkg, rel), "rb") as fh:
+                hasher.update(fh.read())
+        tag = hasher.hexdigest()[:10]
+        cache_path = os.path.join(tempfile.gettempdir(), f"ospm_layer_{tag}.parquet")
+        if os.environ.get("OSPM_LAYER_CACHE", "1") == "0":
+            cache_path = None
+        if cache_path and os.path.exists(os.path.join(cache_path, "_SUCCESS")):
+            layer = spark.read.parquet(cache_path).cache()
+        else:
+            ring = projected_bbox_ring(BBOX_4326["left"], BBOX_4326["bottom"], BBOX_4326["right"], BBOX_4326["top"])
+            env = (float(ring[:, 0].min()), float(ring[:, 1].min()), float(ring[:, 0].max()), float(ring[:, 1].max()))
+            cfg = OverlayConfig(px=0.25, margin=64.0, bbox=env, bbox_ring=ring)
+            layer = run_pipeline(elements_to_spark(spark), cfg, overlay_res=8)
+            if cache_path:
+                layer.write.mode("overwrite").parquet(cache_path)
+                layer = spark.read.parquet(cache_path)
+            layer = layer.cache()
         layer.count()
         _LAYER_CACHE[key] = layer
     return _LAYER_CACHE[key]

@@ -197,6 +197,7 @@ def pip_join_raster(
     tile_res: int = 10,
     group_res: int = 13,
     salt: int = 0,
+    id_col: str = "image_id",
 ) -> DataFrame:
     """J12 fast path: assign images via per-tile class-mask lookup.
 
@@ -208,8 +209,17 @@ def pip_join_raster(
     Cost per tile group: unpack each class mask once + O(1) per image —
     independent of polygon complexity. Shuffle key = tile cell; the mask side
     is hinted shuffle_hash (broadcast-free)."""
+    id_type = dict(images.dtypes)[id_col]
     imgs = images.withColumn("tile_cell", lonlat_cell_udf(group_res)(F.col("lon"), F.col("lat"))).select(
-        "image_id", "x", "y", "tile_cell"
+        F.col(id_col).alias("image_id"), "x", "y", "tile_cell"
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.LongType() if id_type == "bigint" else T.StringType()),
+            T.StructField("space_category", T.StringType()),
+            T.StructField("access", T.StringType()),
+            T.StructField("tile_cell", T.LongType()),
+        ]
     )
     t = subdivide_tiles(tiles, group_res) if group_res > tile_res else tiles.select(
         "tile_cell", "space_category", "access", "mask", "mask_w", "mask_h", "ox", "oy", "px"
@@ -225,38 +235,60 @@ def pip_join_raster(
         t = t.withColumn("_salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(salt)])))
         group_keys = ["tile_cell", "_salt"]
 
-    def _lookup(key, img_pdf: pd.DataFrame, mask_pdf: pd.DataFrame) -> pd.DataFrame:
-        out_img, out_cat, out_acc, out_cell = [], [], [], []
-        if len(img_pdf) and len(mask_pdf):
-            cell = int(key[0])
-            px_arr = img_pdf["x"].to_numpy()
-            py_arr = img_pdf["y"].to_numpy()
-            ids = img_pdf["image_id"].to_numpy()
-            for _, row in mask_pdf.sort_values(["space_category", "access"]).iterrows():
-                w, h = int(row["mask_w"]), int(row["mask_h"])
-                mask = np.unpackbits(np.frombuffer(row["mask"], dtype=np.uint8), count=w * h).reshape(h, w)
-                cx = np.floor((px_arr - row["ox"]) / row["px"]).astype(np.int64)
-                cy = np.floor((py_arr - row["oy"]) / row["px"]).astype(np.int64)
-                ok = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
-                hit = np.zeros(len(ids), dtype=bool)
-                hit[ok] = mask[cy[ok], cx[ok]] > 0
-                if hit.any():
-                    sel = np.nonzero(hit)[0]
-                    out_img.extend(ids[sel].tolist())
-                    out_cat.extend([row["space_category"]] * len(sel))
-                    out_acc.extend([row["access"]] * len(sel))
-                    out_cell.extend([cell] * len(sel))
-        return pd.DataFrame(
-            {"image_id": out_img, "space_category": out_cat, "access": out_acc, "tile_cell": out_cell}
+    import pyarrow as pa
+
+    def _lookup(key, img_tbl: "pa.Table", mask_tbl: "pa.Table") -> "pa.Table":
+        id_pa_type = pa.int64() if id_type == "bigint" else pa.string()
+        empty = pa.table(
+            {
+                "image_id": pa.array([], id_pa_type),
+                "space_category": pa.array([], pa.string()),
+                "access": pa.array([], pa.string()),
+                "tile_cell": pa.array([], pa.int64()),
+            }
+        )
+        if img_tbl.num_rows == 0 or mask_tbl.num_rows == 0:
+            return empty
+        cell = key[0].as_py()
+        px_arr = img_tbl.column("x").to_numpy(zero_copy_only=False)
+        py_arr = img_tbl.column("y").to_numpy(zero_copy_only=False)
+        ids = img_tbl.column("image_id")  # stays Arrow — no python strings
+        masks = mask_tbl.to_pylist()
+        takes, cats, accs = [], [], []
+        for row in sorted(masks, key=lambda r: (r["space_category"], r["access"])):
+            w, h = int(row["mask_w"]), int(row["mask_h"])
+            mask = np.unpackbits(np.frombuffer(row["mask"], dtype=np.uint8), count=w * h).reshape(h, w)
+            cx = np.floor((px_arr - row["ox"]) / row["px"]).astype(np.int64)
+            cy = np.floor((py_arr - row["oy"]) / row["px"]).astype(np.int64)
+            ok = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+            hit = np.zeros(len(px_arr), dtype=bool)
+            hit[ok] = mask[cy[ok], cx[ok]] > 0
+            if hit.any():
+                sel = np.nonzero(hit)[0]
+                takes.append(sel)
+                cats.append((row["space_category"], len(sel)))
+                accs.append((row["access"], len(sel)))
+        if not takes:
+            return empty
+        idx = pa.array(np.concatenate(takes))
+        out_ids = ids.take(idx)
+        if isinstance(out_ids, pa.ChunkedArray):
+            out_ids = out_ids.combine_chunks()
+        cat_arr = pa.array(np.repeat([c for c, _ in cats], [n for _, n in cats]))
+        acc_arr = pa.array(np.repeat([a for a, _ in accs], [n for _, n in accs]))
+        cell_arr = pa.array(np.full(len(idx), cell, dtype=np.int64))
+        return pa.table(
+            {"image_id": out_ids, "space_category": cat_arr, "access": acc_arr, "tile_cell": cell_arr}
         )
 
     # cogroup, not join: each (tile, class) mask crosses the wire once per
     # tile group instead of once per image row (which would be O(images) ×
-    # 100KB mask payloads). Both sides shuffle on the group key — broadcast-free.
+    # 100KB mask payloads). Arrow-native apply: image ids never materialize
+    # as python objects. Both sides shuffle on the group key — broadcast-free.
     return (
         imgs.groupBy(*group_keys)
         .cogroup(t.groupBy(*group_keys))
-        .applyInPandas(_lookup, _PIP_RASTER_OUT)
+        .applyInArrow(_lookup, out_schema)
     )
 
 

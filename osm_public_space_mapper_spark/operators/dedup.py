@@ -61,8 +61,17 @@ def _minhash_col(sh_hash_col, perm: int):
     )
 
 
+def _spread(documents: DataFrame) -> DataFrame:
+    """Small doc tables often arrive as one parquet row-group = one partition;
+    shingling/minhashing are interpreted higher-order expressions (no codegen
+    for lambdas), so spread rows across the session's parallelism first."""
+    n_part = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return documents.repartition(n_part, "doc_id")
+
+
 def doc_minhashes(documents: DataFrame, n: int = 3) -> DataFrame:
     """doc_id → array of MINHASH_PERMS minhash values (portable hashes)."""
+    documents = _spread(documents)
     sh = documents.select("doc_id", shingles(F.col("text"), n).alias("sh"))
     sh = sh.filter(F.size("sh") > 0)
     sh = sh.withColumn("shh", F.transform(F.col("sh"), hash64))
@@ -102,7 +111,7 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, jaccard_threshold: float
         .distinct()
     )
     # verify with exact Jaccard over shingle sets
-    sh = documents.select(
+    sh = _spread(documents).select(
         "doc_id", F.array_distinct(shingles(F.col("text"), n)).alias("sh")
     ).filter(F.size("sh") > 0)
     verified = (
@@ -120,7 +129,7 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, jaccard_threshold: float
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via shingle-explode equi-join
     (no LSH approximation; the oracle-checkable exact variant)."""
-    sh = documents.select(
+    sh = _spread(documents).select(
         "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), n))).alias("sh")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -143,7 +152,7 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5
 
 def simhash64(documents: DataFrame, bits: int = 32) -> DataFrame:
     """Bit-vote SimHash over word-token hashes (portable md5-derived)."""
-    toks = documents.select(
+    toks = _spread(documents).select(
         "doc_id",
         F.transform(
             F.array_distinct(F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")),

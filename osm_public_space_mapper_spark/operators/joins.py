@@ -209,8 +209,12 @@ def pip_join_raster(
     Cost per tile group: unpack each class mask once + O(1) per image —
     independent of polygon complexity. Shuffle key = tile cell; the mask side
     is hinted shuffle_hash (broadcast-free)."""
+    from ..functions.geometry import cell_udf
+
     id_type = dict(images.dtypes)[id_col]
-    imgs = images.withColumn("tile_cell", lonlat_cell_udf(group_res)(F.col("lon"), F.col("lat"))).select(
+    # x,y are already projected (project_points precondition) — encode the
+    # group cell from them directly instead of re-projecting lon/lat
+    imgs = images.withColumn("tile_cell", cell_udf(group_res)(F.col("x"), F.col("y"))).select(
         F.col(id_col).alias("image_id"), "x", "y", "tile_cell"
     )
     out_schema = T.StructType(
@@ -366,9 +370,13 @@ def knn_join(images: DataFrame, centroids: DataFrame, k: int = 3, res: int = KNN
         neigh = neighbors(base, ring)
         return pd.Series(list(neigh), index=cx.index).map(lambda a: a.tolist())
 
+    from ..functions.geometry import cell_udf
+
     cands = centroids.withColumn("cell", F.explode(_neighbor_cells(F.col("cx"), F.col("cy"))))
-    imgs = images.withColumn("knn_cell", lonlat_cell_udf(res)(F.col("lon"), F.col("lat")))
-    joined = imgs.join(cands, imgs["knn_cell"] == cands["cell"]).select(
+    imgs = images.withColumn("knn_cell", cell_udf(res)(F.col("x"), F.col("y")))
+    # broadcast-free: never let the (potentially 10^12-row) image side be
+    # size-estimated into a broadcast; shuffle both sides on the cell key
+    joined = imgs.join(cands.hint("shuffle_hash"), imgs["knn_cell"] == cands["cell"]).select(
         "image_id", "x", "y", "polygon_id",
         F.col("space_category").alias("nn_category"),
         F.col("access").alias("nn_access"),

@@ -163,15 +163,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # portable SQL (identical text runs on Spark and DuckDB)
 # ---------------------------------------------------------------------------
 
+# Money aggregates run in DECIMAL on both engines: double summation is
+# order-sensitive, so ROUND(SUM(double), 2) flips on cent boundaries between
+# Spark and DuckDB (r01 q3 hash fail). DECIMAL sums are exact and
+# order-independent; the final CAST AS DOUBLE is correctly rounded and
+# identical in both engines (verified bitwise at sf0.01).
 _Q1 = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
-       ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)      AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))) / COUNT(*), 4) AS DOUBLE)      AS avg_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) / COUNT(*), 4) AS DOUBLE) AS avg_price,
+       CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(6,4))) / COUNT(*), 4) AS DOUBLE)       AS avg_disc,
        COUNT(*)                                                    AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -179,17 +184,19 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 _Q3 = """
-SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+SELECT o.o_orderkey,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
        o.o_orderpriority
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY o.o_orderkey, o.o_orderpriority
-HAVING SUM(l.l_extendedprice * (1 - l.l_discount)) > 1000.0
+HAVING SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) > 1000.0
 """
 
 _Q5 = """
-SELECT n.n_name AS nation, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+SELECT n.n_name AS nation,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM region r
 JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -226,7 +233,8 @@ FROM events GROUP BY user_id
 
 _ROLLUP = """
 SELECT r.r_name AS region, n.n_name AS nation,
-       COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 2) AS total_balance
+       COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_balance
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -256,9 +264,12 @@ SELECT user_id, SUM(brk) AS n_sessions, COUNT(*) AS n_events
 FROM d GROUP BY user_id
 """
 
+# FLOOR(epoch(ts)): DuckDB's CAST(double AS BIGINT) rounds to nearest while
+# Spark's unix_timestamp truncates — FLOOR makes both sides truncate (r01
+# events_sessionization hash fail on >=0.5 s fractional timestamps).
 _SESS_DUCK = """
 WITH e AS (
-  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS sec FROM events
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events
 ), d AS (
   SELECT user_id, sec,
          CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL

@@ -429,6 +429,80 @@ WHERE list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE
          * sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))) >= 0.35
 """
 
+def _ann_duck_ctes(k: int = 5, n_bits: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """CTE block reproducing similarity.ann_lsh_topk (multiprobe=1) in DuckDB:
+    sign-random-projection buckets from the same literal hyperplanes, 1-bit
+    multiprobe, exact cosine re-rank — bit-identical arithmetic (sequential
+    dot products over the same double casts)."""
+    from osm_public_space_mapper_spark.operators.similarity import _projection_matrix
+
+    planes = _projection_matrix(dim, n_bits, seed)
+    def lit_list(plane):
+        return "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit_list(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_bits)])
+    cos = (
+        "list_dot_product(CAST(q2.embedding AS DOUBLE[]), CAST(c2.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(q2.embedding AS DOUBLE[]), CAST(q2.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(c2.embedding AS DOUBLE[]), CAST(c2.embedding AS DOUBLE[]))))"
+    )
+    return f"""
+corpus AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+qs AS (SELECT vec_id AS query_id, embedding, bucket FROM corpus WHERE vec_id % 50 = 0),
+probes AS (SELECT query_id, unnest([{probes}]) AS probe FROM qs),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id
+  FROM probes p JOIN corpus c ON p.probe = c.bucket
+),
+ann_scored AS (
+  SELECT cand.query_id, cand.vec_id, ROUND({cos}, 6) AS cosine
+  FROM cand
+  JOIN qs q2 ON q2.query_id = cand.query_id
+  JOIN corpus c2 ON c2.vec_id = cand.vec_id
+),
+ann_topk AS (
+  SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM ann_scored
+  ) WHERE rank <= {k}
+)"""
+
+
+def _ann_sql_duck(k: int = 5, n_bits: int = 8, dim: int = 64, seed: int = 42) -> str:
+    return f"WITH {_ann_duck_ctes(k, n_bits, dim, seed)}\nSELECT query_id, vec_id, cosine, rank FROM ann_topk"
+
+
+def _ann_recall_sql_duck(k: int = 5, n_bits: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """recall@k of the LSH path vs the exact brute-force top-k, per query."""
+    exact_cos = (
+        "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
+    )
+    return f"""
+WITH {_ann_duck_ctes(k, n_bits, dim, seed)},
+exact_scored AS (
+  SELECT q.query_id, c.vec_id, ROUND({exact_cos}, 6) AS cosine
+  FROM qs q, corpus c
+),
+exact_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM exact_scored
+  ) WHERE rank <= {k}
+)
+SELECT e.query_id,
+       ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / {k}, 6) AS recall_at_k
+FROM exact_topk e
+LEFT JOIN ann_topk a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY e.query_id
+"""
+
+
 _TOPK_DUCK = """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
 scored AS (
@@ -541,6 +615,24 @@ def _q_emb_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the LSH ANN path vs exact brute-force top-5, per query."""
+    k = 5
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = SIM.ann_lsh_topk(emb, queries, k=k, n_bits=8, dim=64).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    exact = SIM.brute_force_topk(emb, queries, k=k).select("query_id", "vec_id")
+    return (
+        exact.join(ann, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(k), 6).alias("recall_at_k"))
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash64(_t(spark, sf_dir, "documents"), bits=32)
 
@@ -650,8 +742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "embedding_dups": _q_emb_dups,
         "embedding_topk": _q_emb_topk,
-        # spatial / image engine ops (rows-only here; numpy-oracled in tests/)
         "ann_lsh_topk": _q_emb_ann,
+        "ann_lsh_recall": _q_ann_recall,
+        # spatial / image engine ops (rows-only here; numpy-oracled in tests/)
         "pip_assign_counts": _q_pip_counts,
         "knn_walkable": _q_knn,
         "tile_masks": _q_tiles,
@@ -682,4 +775,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql_duck(32),
         "embedding_dups": _EMB_DUPS_DUCK,
         "embedding_topk": _TOPK_DUCK,
+        "ann_lsh_topk": _ann_sql_duck(),
+        "ann_lsh_recall": _ann_recall_sql_duck(),
     }

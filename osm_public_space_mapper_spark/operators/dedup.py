@@ -50,17 +50,6 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_col(sh_hash_col, perm: int):
-    """min over shingles of (a·(x & MASK) + b) mod PRIME."""
-    a, b = minhash_params(perm)
-    return F.array_min(
-        F.transform(
-            sh_hash_col,
-            lambda x: (x.bitwiseAND(F.lit(MINHASH_MASK)) * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME),
-        )
-    )
-
-
 def _spread(documents: DataFrame) -> DataFrame:
     """Small doc tables often arrive as one parquet row-group = one partition;
     shingling/minhashing are interpreted higher-order expressions (no codegen
@@ -69,20 +58,73 @@ def _spread(documents: DataFrame) -> DataFrame:
     return documents.repartition(n_part, "doc_id")
 
 
+def doc_shingle_profiles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → (minhashes array<long>[MINHASH_PERMS], shh array<long> of
+    distinct shingle hashes) in ONE Arrow mapInPandas pass.
+
+    The r01 plan built shingles/minhashes with higher-order Catalyst
+    expressions — transform/array_min lambdas are interpreted (no codegen)
+    and dominated the bench at 14 s/sf0.1. This numpy kernel does
+    normalize → shingle → md5-hash → 12 permutation minima per doc in one
+    batch, keeping the md5-derived hash values bit-identical to
+    functions/text.hash64 (and so to the DuckDB oracle).
+
+    Normalization parity with the expression path (and oracle):
+    trim = strip ASCII spaces only (Spark's trim), then lower, then collapse
+    Java \\s = [ \\t\\n\\x0b\\f\\r] runs to one space."""
+    import re
+    from hashlib import md5
+
+    import numpy as np
+    import pandas as pd
+
+    a_params = np.array([minhash_params(p)[0] for p in range(MINHASH_PERMS)], dtype=np.int64)
+    b_params = np.array([minhash_params(p)[1] for p in range(MINHASH_PERMS)], dtype=np.int64)
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _profiles(batches):
+        for pdf in batches:
+            ids, sigs, shhs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                norm = ws_re.sub(" ", text.strip(" ").lower())
+                words = norm.split(" ")
+                m = len(words) - n + 1
+                if m <= 0:
+                    continue
+                hs = np.fromiter(
+                    (
+                        int(md5(" ".join(words[i : i + n]).encode("utf-8")).hexdigest()[:15], 16)
+                        for i in range(m)
+                    ),
+                    dtype=np.int64,
+                    count=m,
+                )
+                masked = hs & MINHASH_MASK
+                sig = ((masked[None, :] * a_params[:, None] + b_params[:, None]) % MINHASH_PRIME).min(axis=1)
+                ids.append(doc_id)
+                sigs.append(sig)
+                shhs.append(np.unique(hs))
+            yield pd.DataFrame({"doc_id": ids, "minhashes": sigs, "shh": shhs})
+
+    return _spread(documents).select("doc_id", "text").mapInPandas(
+        _profiles, "doc_id long, minhashes array<long>, shh array<long>"
+    )
+
+
 def doc_minhashes(documents: DataFrame, n: int = 3) -> DataFrame:
     """doc_id → array of MINHASH_PERMS minhash values (portable hashes)."""
-    documents = _spread(documents)
-    sh = documents.select("doc_id", shingles(F.col("text"), n).alias("sh"))
-    sh = sh.filter(F.size("sh") > 0)
-    sh = sh.withColumn("shh", F.transform(F.col("sh"), hash64))
-    cols = [_minhash_col(F.col("shh"), p).alias(f"mh{p}") for p in range(MINHASH_PERMS)]
-    return sh.select("doc_id", F.array(*cols).alias("minhashes"))
+    return doc_shingle_profiles(documents, n).select("doc_id", "minhashes")
 
 
 def minhash_lsh_pairs(documents: DataFrame, n: int = 3, jaccard_threshold: float = 0.5) -> DataFrame:
     """Candidate pairs via band-bucket join, verified with exact shingle
-    Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
-    mh = doc_minhashes(documents, n)
+    Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    The verify join ships distinct shingle-HASH arrays (8 B/shingle), not the
+    raw shingle strings — payload-light at scale; set Jaccard over 60-bit
+    hashes equals string Jaccard up to md5 collisions."""
+    profiles = doc_shingle_profiles(documents, n).cache()
+    mh = profiles.select("doc_id", "minhashes")
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     bands = mh.select(
         "doc_id",
@@ -110,10 +152,8 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, jaccard_threshold: float
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify with exact Jaccard over shingle sets
-    sh = _spread(documents).select(
-        "doc_id", F.array_distinct(shingles(F.col("text"), n)).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # verify with exact Jaccard over distinct shingle-hash sets
+    sh = profiles.select("doc_id", F.col("shh").alias("sh"))
     verified = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
@@ -126,12 +166,29 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, jaccard_threshold: float
     return verified
 
 
-def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5, max_df: int | None = 1000
+) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via shingle-explode equi-join
-    (no LSH approximation; the oracle-checkable exact variant)."""
+    (no LSH approximation; the oracle-checkable exact variant).
+
+    max_df is the hot-shingle guard: a stopword-heavy shingle shared by d
+    docs contributes d² rows to the self-join — quadratic per key at scale.
+    Shingles with document frequency > max_df are dropped from BOTH the join
+    and the per-doc set sizes (consistent Jaccard over the capped universe).
+    The cap is inert when no shingle is hot (max df at sf0.1 is 25), so the
+    oracle output is unchanged at test scale."""
     sh = _spread(documents).select(
         "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), n))).alias("sh")
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (
         sh.alias("l")
@@ -183,22 +240,123 @@ def cosine_expr(a, b):
     return dot / (na * nb)
 
 
-def embedding_dups(embeddings: DataFrame, threshold: float = 0.95, max_ids: int | None = None) -> DataFrame:
-    """Cosine near-duplicate pairs (vec_a < vec_b, cos ≥ threshold).
+def embedding_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    block_size: int = 256,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs (vec_a < vec_b, cos ≥ threshold)
+    via a block-grid matmul join — no cartesian/nested-loop node in the plan.
 
-    Baseline is the exact all-pairs comparison — at scale, swap the self-join
-    for the LSH-bucketed candidate generation in similarity.ann_lsh_buckets."""
-    e = embeddings.select(F.col("vec_id"), F.col("embedding"))
-    if max_ids is not None:
-        e = e.filter(F.col("vec_id") < max_ids)
-    out = (
-        e.alias("l")
-        .join(e.alias("r"), F.col("l.vec_id") < F.col("r.vec_id"))
+    Vectors get a hash block id (nb blocks); the tiny upper-triangle
+    block-pair table broadcasts; each vector is shuffled to the ≤nb+1
+    block-pair groups it participates in, and one Arrow kernel scores each
+    group with a single BLAS matmul. Shuffle volume is O(N·nb) rows (vs the
+    O(N²) a `vec_id < vec_id` theta join ships through a nested-loop join);
+    the O(N²/P) FLOPs per group are inherent to *exact* low-threshold
+    all-pairs and run at matmul speed, not per-pair expression interpretation.
+    This mirrors the block approach of mllib's columnSimilarities/DIMSUM.
+    For high thresholds at extreme scale, `embedding_dups_lsh` trades recall
+    for candidate pruning."""
+    import math
+
+    if n_blocks is None:
+        n_blocks = max(1, math.ceil(embeddings.count() / block_size))
+    nb = n_blocks
+    spark = embeddings.sparkSession
+    e = embeddings.select("vec_id", "embedding").withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(nb)).cast("int")
+    )
+    pair_rows = [(i, j) for i in range(nb) for j in range(i, nb)]
+    pairs = spark.createDataFrame(pair_rows, "bi int, bj int")
+    lhs = e.join(F.broadcast(pairs), e.blk == pairs.bi).select(
+        "bi", "bj", F.lit(0).alias("role"), "vec_id", "embedding"
+    )
+    rhs = e.join(F.broadcast(pairs), (e.blk == pairs.bj) & (pairs.bi != pairs.bj)).select(
+        "bi", "bj", F.lit(1).alias("role"), "vec_id", "embedding"
+    )
+    both = lhs.unionByName(rhs)
+
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                              "vec_b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        if pdf.empty:
+            return empty
+        same = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        left = pdf[pdf["role"] == 0]
+        ids_l = left["vec_id"].to_numpy()
+        ml = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        ml /= np.linalg.norm(ml, axis=1, keepdims=True)
+        if same:
+            ids_r, mr = ids_l, ml
+        else:
+            right = pdf[pdf["role"] == 1]
+            if right.empty or left.empty:
+                return empty
+            ids_r = right["vec_id"].to_numpy()
+            mr = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+            mr /= np.linalg.norm(mr, axis=1, keepdims=True)
+        s = ml @ mr.T
+        ii, jj = np.nonzero(s >= thr)
+        if same:
+            keep = ids_l[ii] < ids_r[jj]
+            ii, jj = ii[keep], jj[keep]
+        a, b = ids_l[ii], ids_r[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": s[ii, jj]})
+
+    out = both.groupBy("bi", "bj").applyInPandas(
+        _score, "vec_a long, vec_b long, cosine double"
+    )
+    return out.select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+
+
+def embedding_dups_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    dim: int = 64,
+    multiprobe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs: sign-random-projection bucket candidates
+    (+ multiprobe) then exact cosine verify. Misses pairs whose LSH bits
+    differ in > `multiprobe` positions — recall is measured in
+    tests/test_dedup_similarity.py; suited to high thresholds where candidate
+    pruning is strong. The exact block-grid path is `embedding_dups`."""
+    from .similarity import _projection_matrix, lsh_bucket_expr
+
+    planes = _projection_matrix(dim, n_bits, seed)
+    e = embeddings.select("vec_id", "embedding").withColumn(
+        "bucket", lsh_bucket_expr(F.col("embedding"), planes)
+    )
+    probes = [F.col("bucket")]
+    if multiprobe >= 1:
+        probes += [F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+    if multiprobe >= 2:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        ]
+    probed = e.withColumn("probe", F.explode(F.array(*probes)))
+    cand = (
+        probed.alias("l")
+        .join(e.alias("r"), F.col("l.probe") == F.col("r.bucket"))
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
         .select(
             F.col("l.vec_id").alias("vec_a"),
             F.col("r.vec_id").alias("vec_b"),
             F.round(cosine_expr(F.col("l.embedding"), F.col("r.embedding")), 6).alias("cosine"),
         )
+        .dropDuplicates(["vec_a", "vec_b"])
         .filter(F.col("cosine") >= threshold)
     )
-    return out
+    return cand

@@ -59,14 +59,13 @@ def ann_lsh_topk(
     queries: DataFrame,
     k: int = 5,
     n_bits: int = 8,
-    dim: int | None = None,
+    dim: int = 64,
     multiprobe: int = 1,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket (or differ
-    by ≤ `multiprobe` bits); exact cosine re-rank inside candidates."""
-    if dim is None:
-        dim = len(embeddings.select("embedding").first()[0])
+    by ≤ `multiprobe` bits); exact cosine re-rank inside candidates.
+    `dim` must be passed by the caller (no driver-side sniff of the data)."""
     planes = _projection_matrix(dim, n_bits, seed)
     corpus = embeddings.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
     q = queries.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))

@@ -688,10 +688,17 @@ def _q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule invariants on rows that went THROUGH the engine (PIP join
+    shuffle + joins), compared against an independently regenerated source:
+    decoded-pixel PSNR round-trip + exact caption equality."""
+    from osm_public_space_mapper_spark.operators import joins
     from osm_public_space_mapper_spark.operators.imageops import verify_invariants
 
     images = _images(spark, 200, with_pixels=True)
-    inv = verify_invariants(images)
+    assigned = joins.pip_join_raster(images, _tiles(spark)).select("image_id", "space_category")
+    post_engine = images.join(assigned, "image_id")
+    source = _images(spark, 200, with_pixels=True)  # independent regeneration
+    inv = verify_invariants(post_engine, source=source)
     return inv.agg(
         F.count("*").alias("n_images"),
         F.sum(F.when(F.col("pixels_ok"), 1).otherwise(0)).alias("n_pixels_ok"),

@@ -137,7 +137,10 @@ def run_full() -> dict:
     queries: dict[str, float] = {}
 
     # per-row invariants on a pixel-bearing sample (BASELINE.md protocol)
-    inv = verify_invariants(E._images(spark, 300, with_pixels=True)).collect()
+    inv = verify_invariants(
+        E._images(spark, 300, with_pixels=True),
+        source=E._images(spark, 300, with_pixels=True),  # independent regeneration
+    ).collect()
     assert all(r.pixels_ok and r.caption_ok for r in inv), "image invariants violated"
 
     t0 = time.time()

@@ -182,6 +182,19 @@ def generate_elements() -> list[dict]:
     for _ in range(3):
         add(None, None, {"type": "route"})  # invalid (unparseable relation)
 
+    # --- multi-geometry kinds (reference ShapelyGeometry alias,
+    #     utils/geometry_element.py:8) -------------------------------------
+    # two-outer-ring multipolygon park: both rects must land greenspace/yes
+    add("multipolygon", [_rect(0.86, 0.62, 0.89, 0.65), _rect(0.91, 0.62, 0.94, 0.65)],
+        {"leisure": "park"})
+    # multilinestring fence: reference is_linestring() is strict
+    # (type==LineString), so this is NOT a barrier / NOT dropped as a
+    # linestring — it flows through with zero area, must not crash kernels
+    add("multilinestring", [_line((0.86, 0.68), (0.94, 0.68)), _line((0.86, 0.69), (0.94, 0.69))],
+        {"barrier": "fence"})
+    # multipoint gate: not a point entrance under strict kinds; zero-area
+    add("multipoint", [_pt(0.87, 0.68), _pt(0.93, 0.68)], {"barrier": "gate"})
+
     return rows
 
 

@@ -252,6 +252,37 @@ def set_space_category(df: DataFrame) -> DataFrame:
     return df.withColumn("space_category", chain.otherwise(F.col("space_type")))
 
 
+def uncategorized_space_type_warnings(df: DataFrame) -> DataFrame:
+    """A5 warning side output (reference clean_data.py:269-278): distinct
+    space types that fell through the category table, with counts. The
+    reference prints the set to stdout; the engine returns it as a DataFrame
+    so a pipeline can sink it (filter-side-output), keeping the main path
+    untouched."""
+    all_categorized = sorted({t for types in SPACE_CATEGORIES.values() for t in types})
+    return (
+        df.filter(F.col("space_type").isNotNull() & ~F.col("space_type").isin(all_categorized))
+        .groupBy("space_type")
+        .agg(F.count("*").alias("n_elements"))
+        .withColumn("warning", F.lit("no space category given"))
+    )
+
+
+def unassumed_access_warnings(df: DataFrame) -> DataFrame:
+    """A5 warning side output (reference analyse_access.py:380-384): space
+    types whose access could not be assumed (fell through to 'unknown')."""
+    known = SPACE_TYPES_WITH_ACCESS + SPACE_TYPES_RESTRICTED + SPACE_TYPES_NO_ACCESS
+    return (
+        df.filter(
+            F.col("access").isNull()
+            & F.col("space_type").isNotNull()
+            & ~F.col("space_type").isin(known)
+        )
+        .groupBy("space_type")
+        .agg(F.count("*").alias("n_elements"))
+        .withColumn("warning", F.lit("no access categorized"))
+    )
+
+
 def recode_categories_post_overlay(df: DataFrame) -> DataFrame:
     """walking area→open space, inaccessible enclosed→undefined space,
     rail/road→traffic area (reference clean_data.py:352-358)."""

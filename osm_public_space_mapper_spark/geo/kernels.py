@@ -143,8 +143,11 @@ def geoms_intersect(parts_a: list[np.ndarray], kind_a: str, parts_b: list[np.nda
 
     Handles the predicate uses in the reference (point/linestring/polygon
     combinations at analyse_access.py:119,159 and clean_data.py:250,367).
+    Multi-kinds are first-class: multipoint = all its points, multilinestring
+    = all its paths (reference ShapelyGeometry alias utils/geometry_element.py:8).
     """
     poly_kinds = ("polygon", "multipolygon")
+    point_kinds = ("point", "multipoint")
 
     def verts(parts):
         return np.concatenate([np.asarray(p, float).reshape(-1, 2) for p in parts])
@@ -170,15 +173,15 @@ def geoms_intersect(parts_a: list[np.ndarray], kind_a: str, parts_b: list[np.nda
     if kind_b in poly_kinds:
         if points_in_polygon(va[:, 0], va[:, 1], parts_b).any():
             return True
-    if kind_a == "point" and kind_b == "point":
+    if kind_a in point_kinds and kind_b in point_kinds:
         return bool((np.abs(va[:, None, :] - vb[None, :, :]).sum(axis=2) == 0).any())
     ea0, ea1 = edges(parts_a, kind_a in poly_kinds)
     eb0, eb1 = edges(parts_b, kind_b in poly_kinds)
     if len(ea0) and len(eb0):
         return bool(segments_intersect(ea0, ea1, eb0, eb1).any())
     # point vs line: on-segment test
-    if kind_a == "point" and len(eb0):
+    if kind_a in point_kinds and len(eb0):
         return bool((point_segment_dist(va[:, 0], va[:, 1], eb0, eb1) < 1e-9).any())
-    if kind_b == "point" and len(ea0):
+    if kind_b in point_kinds and len(ea0):
         return bool((point_segment_dist(vb[:, 0], vb[:, 1], ea0, ea1) < 1e-9).any())
     return False

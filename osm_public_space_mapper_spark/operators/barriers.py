@@ -37,13 +37,15 @@ def _intersects(parts_a, kind_a, parts_b, kind_b) -> bool:
     """geoms_intersect with ε-tolerant point-vs-line (projection jitter)."""
     parts_a = np_parts(parts_a)
     parts_b = np_parts(parts_b)
-    if kind_a == "point" or kind_b == "point":
-        if kind_b == "point":
+    pt_kinds = ("point", "multipoint")
+    if kind_a in pt_kinds or kind_b in pt_kinds:
+        if kind_b in pt_kinds:
             parts_a, kind_a, parts_b, kind_b = parts_b, kind_b, parts_a, kind_a
-        p = np.asarray(parts_a[0], dtype=np.float64).reshape(-1, 2)
-        if kind_b == "point":
-            q = np.asarray(parts_b[0], dtype=np.float64).reshape(-1, 2)
-            return bool(np.hypot(*(p[0] - q[0])) <= _EPS)
+        p = np.concatenate([np.asarray(x, dtype=np.float64).reshape(-1, 2) for x in parts_a])
+        if kind_b in pt_kinds:
+            q = np.concatenate([np.asarray(x, dtype=np.float64).reshape(-1, 2) for x in parts_b])
+            d = np.hypot(p[:, None, 0] - q[None, :, 0], p[:, None, 1] - q[None, :, 1])
+            return bool((d <= _EPS).any())
         segs0, segs1 = [], []
         for path in parts_b:
             path = np.asarray(path, dtype=np.float64)
@@ -133,11 +135,24 @@ def interpret_barriers(df: DataFrame, res: int = RES_FINE) -> DataFrame:
     resolved = pairs.groupBy("bid").applyInPandas(_resolve_barrier_group, _OUT_SCHEMA)
 
     out = df.join(resolved, "element_id", "left")
-    out = out.withColumn(
-        "access",
-        F.coalesce(
-            F.col("access"),
-            F.when(P.is_barrier(), F.coalesce(F.col("barrier_access"), F.lit("no"))),
-        ),
-    ).drop("barrier_access")
+    # provenance: stamp rows whose access is WRITTEN here (write-once — rows
+    # with tags-derived access keep 'tags'). The reference's barrier path
+    # (analyse_access.py:81-149) sets barrier.access without a provenance
+    # value; 'barrier' is the engine's explicit stamp for that path (never
+    # exported — final layer features carry only category+access).
+    barrier_written = F.col("access").isNull() & P.is_barrier()
+    out = (
+        out.withColumn(
+            "access_derived_from",
+            F.when(barrier_written, F.lit("barrier")).otherwise(F.col("access_derived_from")),
+        )
+        .withColumn(
+            "access",
+            F.coalesce(
+                F.col("access"),
+                F.when(P.is_barrier(), F.coalesce(F.col("barrier_access"), F.lit("no"))),
+            ),
+        )
+        .drop("barrier_access")
+    )
     return out

@@ -6,7 +6,9 @@ codecs live in images/codec.py (PNG/raw from scratch; exotic formats raise
 NotImplementedError at the codec layer, per the stub policy).
 
 verify_invariants: per-row decoded-pixel round-trip (re-encode → decode →
-PSNR; lossless ⇒ ∞, lossy threshold 40 dB) + caption pass-through equality.
+PSNR; lossless ⇒ ∞, lossy threshold 40 dB) + caption equality against the
+pre-engine source table (joined on image_id — a self-comparison would be
+vacuous, so the source side is required).
 image_features: decode → per-image feature vector (mean RGB, luma stats,
 edge-energy proxy) — the "feature extract" stage of a training-data pipeline.
 """
@@ -18,6 +20,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..images.codec import decode_image, encode_png, encode_raw, psnr
@@ -33,7 +36,28 @@ _INVARIANT_SCHEMA = T.StructType(
 )
 
 
-def verify_invariants(images: DataFrame, psnr_threshold: float = 40.0) -> DataFrame:
+def verify_invariants(images: DataFrame, source: DataFrame | None = None, psnr_threshold: float = 40.0) -> DataFrame:
+    """Per-row engine invariants for the post-engine `images` rows.
+
+    caption_ok compares the caption that came THROUGH the engine against the
+    pre-engine `source` table (equi-joined on image_id); a corrupted or
+    dropped caption turns the row False (tests/test_image_joins.py proves
+    this with a deliberate corruption). When source is omitted, images must
+    itself carry the reference caption under `caption_src` — otherwise a
+    self-comparison would be vacuously true, so this raises."""
+    if source is not None:
+        src = source.select(
+            F.col("image_id"), F.col("caption").alias("caption_src")
+        )
+        images = images.select("image_id", "bytes", "w", "h", "fmt", "caption").join(
+            src, "image_id", "left"
+        )
+    elif "caption_src" not in images.columns:
+        raise ValueError(
+            "verify_invariants needs the pre-engine captions: pass source= "
+            "or provide a caption_src column (self-comparison is vacuous)"
+        )
+
     def _check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("image_id", "caption", "psnr_db", "pixels_ok", "caption_ok")}
@@ -46,10 +70,12 @@ def verify_invariants(images: DataFrame, psnr_threshold: float = 40.0) -> DataFr
                 out["caption"].append(row["caption"])
                 out["psnr_db"].append(p if np.isfinite(p) else 1e9)
                 out["pixels_ok"].append(bool(p >= psnr_threshold or not np.isfinite(p)))
-                out["caption_ok"].append(row["caption"] == row["caption"])  # pass-through identity
+                out["caption_ok"].append(
+                    row["caption_src"] is not None and row["caption"] == row["caption_src"]
+                )
             yield pd.DataFrame(out)
 
-    return images.select("image_id", "bytes", "w", "h", "fmt", "caption").mapInPandas(
+    return images.select("image_id", "bytes", "w", "h", "fmt", "caption", "caption_src").mapInPandas(
         _check, _INVARIANT_SCHEMA
     )
 

@@ -86,9 +86,15 @@ class OverlayResult:
 def _raster_record(grid: Grid, rec: ElementRecord) -> np.ndarray:
     if rec.geom_kind in ("polygon", "multipolygon"):
         return rasterize_polygon(grid, rec.parts)
-    if rec.geom_kind == "linestring":
+    if rec.geom_kind in ("linestring", "multilinestring"):
+        # multilinestring: parts are independent paths; rasterize_lines
+        # already draws each part as its own path. NOTE the classify rules
+        # keep the reference's STRICT is_linestring (type==LineString,
+        # geometry_element.py:95-96), so multilinestrings only reach here via
+        # roles that admit them explicitly — then they render correctly
+        # instead of silently dropping.
         return rasterize_lines(grid, rec.parts, max(rec.buf_width, grid.px), rec.cap_style)
-    return grid.empty()  # points carry no area
+    return grid.empty()  # point/multipoint carry no area
 
 
 def run_overlay(

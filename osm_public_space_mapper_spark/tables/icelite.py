@@ -59,42 +59,97 @@ class IceliteTable:
 
     # -- write -------------------------------------------------------------
     def commit(self, df, partition_col: str, stage: str = "default", mode: str = "append") -> dict:
-        """Write df partitioned by `partition_col`, then atomically commit a
-        new snapshot whose manifest carries per-partition lineage."""
+        """Write df partitioned by `partition_col` and atomically commit a
+        new snapshot whose manifest carries per-partition lineage.
+
+        Single-pass write: each executor task writes its own parquet file(s)
+        (the Iceberg writer model — tasks produce data files, the driver
+        commits manifest entries) and RETURNS one lineage row per written
+        file (partition, path, row_count, content_hash). The input is
+        scanned exactly once; the r01 version re-read everything it had just
+        written to compute hashes, doubling write-path I/O per commit.
+
+        content_hash is an order-insensitive wrap-around SUM of per-row
+        hashes (+ the row count in the manifest): unlike bit_xor, duplicate
+        row pairs don't cancel out. Failed/retried tasks may leave orphan
+        files in the write dir; only rows from successful attempts reach the
+        manifest (standard Iceberg orphan semantics)."""
         from pyspark.sql import functions as F
 
         write_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, write_id)
-        (df.repartition(F.col(partition_col))
-           .write.mode("errorifexists")
-           .partitionBy(partition_col)
-           .parquet(out_dir))
+        os.makedirs(out_dir, exist_ok=True)
+        pcol = partition_col
 
-        # lineage: row count + order-insensitive content hash per partition
-        spark = df.sparkSession
-        written = spark.read.parquet(out_dir)
-        cols = [c for c in written.columns]
+        def _write_files(batches):
+            import uuid as _uuid
+            from hashlib import md5
+
+            import numpy as np
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            def _cell64(v):
+                """Stable 64-bit digest for non-hashable payload cells
+                (nested arrays, binary geometry/mask blobs)."""
+                if v is None:
+                    b = b"\x00"
+                elif isinstance(v, (bytes, bytearray)):
+                    b = bytes(v)
+                elif isinstance(v, np.ndarray):
+                    b = v.tobytes() + str(v.dtype).encode() + str(v.shape).encode()
+                else:
+                    b = repr(v).encode()
+                return int.from_bytes(md5(b).digest()[:8], "big")
+
+            def _row_hashes(pdf: "pd.DataFrame") -> "np.ndarray":
+                total = np.zeros(len(pdf), dtype=np.uint64)
+                for c in sorted(pdf.columns):
+                    col = pdf[c]
+                    if col.dtype == object:
+                        col = pd.Series([_cell64(v) for v in col], dtype="uint64")
+                    h = pd.util.hash_pandas_object(col, index=False).to_numpy().astype(np.uint64)
+                    total = total * np.uint64(1099511628211) + h  # FNV-ish column mix
+                return total
+
+            buf: dict = {}
+            for pdf in batches:
+                for val, grp in pdf.groupby(pcol, sort=False):
+                    buf.setdefault(val, []).append(grp)
+            rows = {"partition": [], "path": [], "row_count": [], "content_hash": []}
+            for val, grps in buf.items():
+                pdf = pd.concat(grps, ignore_index=True)
+                pdir = os.path.join(out_dir, f"{pcol}={val}")
+                os.makedirs(pdir, exist_ok=True)
+                fpath = os.path.join(pdir, f"part-{_uuid.uuid4().hex[:16]}.parquet")
+                pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), fpath)
+                h = _row_hashes(pdf)
+                rows["partition"].append(str(val))
+                rows["path"].append(fpath)
+                rows["row_count"].append(len(pdf))
+                rows["content_hash"].append(int(h.sum(dtype=np.uint64)))
+            yield pd.DataFrame(rows)
+
         lineage_rows = (
-            written.withColumn(
-                "_h", F.xxhash64(*[F.col(c).cast("string") for c in sorted(cols)])
-            )
-            .groupBy(partition_col)
-            .agg(
-                F.count("*").alias("row_count"),
-                F.expr("bit_xor(_h)").alias("content_hash"),  # commutative, overflow-free
+            df.repartition(F.col(partition_col))
+            .mapInPandas(
+                _write_files,
+                "partition string, path string, row_count long, content_hash decimal(20,0)",
             )
             .collect()
         )
         manifests = [
             {
-                "partition": str(r[partition_col]),
+                "partition": r["partition"],
                 "row_count": int(r["row_count"]),
                 "content_hash": int(r["content_hash"]),
                 "stage": stage,
-                "path": os.path.join(out_dir, f"{partition_col}={r[partition_col]}"),
+                "path": r["path"],
             }
             for r in lineage_rows
         ]
+        schema_json = df.schema.json()
 
         prev = self.current_metadata()
         snap = self.current_snapshot()
@@ -112,7 +167,7 @@ class IceliteTable:
         new_meta = {
             "snapshot": snap_name,
             "history": prev["history"] + [snap_name],
-            "schema": written.schema.json(),
+            "schema": schema_json,
             "partition_col": partition_col,
         }
         tmp = self._meta_path() + ".tmp"
@@ -131,20 +186,10 @@ class IceliteTable:
         ]
         if not paths:
             raise ValueError("empty table or no matching partitions")
-        # group by write dir so the hive-style partition column is recovered
-        # via basePath (manifest-driven partition pruning: only listed dirs
-        # are touched)
-        by_base: dict[str, list[str]] = {}
-        for p in paths:
-            by_base.setdefault(os.path.dirname(p), []).append(p)
-        dfs = [
-            spark.read.option("basePath", base).parquet(*ps)
-            for base, ps in sorted(by_base.items())
-        ]
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        return out
+        # manifest-driven pruning: only the listed data files are touched;
+        # the partition column is stored inside each file (Iceberg-style,
+        # no hive-dir recovery needed)
+        return spark.read.parquet(*sorted(paths))
 
     def lineage(self) -> list[dict]:
         return self.current_snapshot()["manifests"]

@@ -114,6 +114,47 @@ def test_spot_checks(classified):
     assert classified[20] == ("meadow", "no", "greenspace")
 
 
+def test_barrier_access_provenance(spark):
+    """Rows whose access is written by the barrier join are stamped
+    access_derived_from='barrier'; tags-derived rows keep 'tags'
+    (write-once — reference analyse_access.py:24-49,81-149)."""
+    from osm_public_space_mapper_spark.functions import predicates as P
+    from osm_public_space_mapper_spark.operators.barriers import interpret_barriers
+
+    df = clean.clean_chain(elements_to_spark(spark))
+    rest, _ = clean.get_and_drop_buildings(df)
+    rest = classify.interpret_tags(rest)
+    rest = classify.set_traffic_space_type(rest)
+    rest = clean.drop_road_rail_walking(rest)
+    before = {r.element_id: (r.access, r.access_derived_from)
+              for r in rest.select("element_id", "access", "access_derived_from").collect()}
+    out = interpret_barriers(rest)
+    rows = out.filter(P.is_barrier()).select(
+        "element_id", "access", "access_derived_from"
+    ).collect()
+    assert rows, "fixture must contain barrier rows"
+    resolved_here = [r for r in rows if before[r.element_id][0] is None]
+    assert resolved_here, "fixture must contain barriers without tags-derived access"
+    for r in resolved_here:
+        assert r.access is not None
+        assert r.access_derived_from == "barrier", (r.element_id, r.access_derived_from)
+    for r in rows:
+        if before[r.element_id][0] is not None:  # write-once: tags provenance kept
+            assert r.access_derived_from == before[r.element_id][1]
+
+
+def test_warning_side_outputs(spark):
+    """A5: uncategorized space types surface as warning rows, not prints."""
+    df = spark.createDataFrame(
+        [("park", "yes"), ("weird_thing", None), ("weird_thing", None), ("road", "no")],
+        "space_type string, access string",
+    )
+    cat = {r.space_type: r.n_elements for r in classify.uncategorized_space_type_warnings(df).collect()}
+    assert cat == {"weird_thing": 2}
+    acc = {r.space_type: r.n_elements for r in classify.unassumed_access_warnings(df).collect()}
+    assert acc == {"weird_thing": 2}
+
+
 def test_road_width_matches_oracle(spark):
     df = elements_to_spark(spark)
     df = clean.clean_chain(df)

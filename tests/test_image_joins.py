@@ -138,7 +138,8 @@ def test_tiles_roundtrip_iou(spark, layer_df):
 def test_image_invariants_and_features(spark):
     pdf = generate_images(60, seed=3, with_pixels=True)
     df = images_to_spark(spark, pdf)
-    inv = verify_invariants(df).collect()
+    source = images_to_spark(spark, generate_images(60, seed=3, with_pixels=True))
+    inv = verify_invariants(df, source=source).collect()
     assert len(inv) == 60
     assert all(r.pixels_ok for r in inv)
     assert all(r.caption_ok for r in inv)
@@ -150,3 +151,23 @@ def test_image_invariants_and_features(spark):
     f2 = {r.image_id: (r.mean_r, r.luma_std) for r in image_features(df).collect()}
     f1 = {r.image_id: (r.mean_r, r.luma_std) for r in feats}
     assert f1 == f2
+
+
+def test_caption_corruption_is_detected(spark):
+    """The caption invariant must go red when a caption is mutated in flight
+    (the r01 check compared a caption to itself — vacuously true)."""
+    pdf = generate_images(20, seed=3, with_pixels=True)
+    source = images_to_spark(spark, pdf.copy())
+    corrupted = pdf.copy()
+    corrupted.loc[7, "caption"] = corrupted.loc[7, "caption"] + " CORRUPTED"
+    corrupted.loc[13, "caption"] = ""
+    df = images_to_spark(spark, corrupted)
+    inv = {r.image_id: r.caption_ok for r in verify_invariants(df, source=source).collect()}
+    bad = {pdf.loc[7, "image_id"], pdf.loc[13, "image_id"]}
+    assert all(not inv[i] for i in bad)
+    assert all(ok for i, ok in inv.items() if i not in bad)
+    # no reference captions at all -> refuse to run a vacuous check
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        verify_invariants(df)

@@ -102,6 +102,12 @@ def test_probes(layer):
     assert _lookup(layer, 0.12, 0.35) == [("undefined space", "yes")]
     # empty area → undefined space yes
     assert _lookup(layer, 0.50, 0.89) == [("undefined space", "yes")]
+    # multipolygon park with TWO outer rings: both rects paint greenspace/yes
+    assert _lookup(layer, 0.875, 0.635) == [("greenspace", "yes")]
+    assert _lookup(layer, 0.925, 0.635) == [("greenspace", "yes")]
+    # multilinestring fence / multipoint gate contribute zero area (strict
+    # reference kinds) — the spot where they sit stays undefined space
+    assert _lookup(layer, 0.875, 0.685) == [("undefined space", "yes")]
 
 
 def test_total_area_matches_bbox(layer):

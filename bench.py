@@ -180,7 +180,10 @@ def run_full() -> dict:
         "events_grid_agg",
         "exact_dedup",
         "minhash_lsh_pairs",
+        "ngram_jaccard_pairs",
+        "embedding_dups",
         "embedding_topk",
+        "ann_lsh_topk",
         "doc_quality",
     ):
         t = time.time()

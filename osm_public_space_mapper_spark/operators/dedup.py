@@ -177,9 +177,13 @@ def ngram_jaccard_pairs(
     Shingles with document frequency > max_df are dropped from BOTH the join
     and the per-doc set sizes (consistent Jaccard over the capped universe).
     The cap is inert when no shingle is hot (max df at sf0.1 is 25), so the
-    oracle output is unchanged at test scale."""
-    sh = _spread(documents).select(
-        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), n))).alias("sh")
+    oracle output is unchanged at test scale.
+
+    Shingles are joined by their 60-bit md5 hash (from the Arrow profile
+    kernel), not the raw strings: same Jaccard up to md5 collisions, 8 B/row
+    join payload, and no interpreted higher-order expressions."""
+    sh = doc_shingle_profiles(documents, n).select(
+        "doc_id", F.explode("shh").alias("sh")
     )
     if max_df is not None:
         hot = (

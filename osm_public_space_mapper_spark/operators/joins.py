@@ -352,14 +352,55 @@ def layer_centroids(layer: DataFrame) -> DataFrame:
     ).filter(F.col("cx").isNotNull())
 
 
-def knn_join(images: DataFrame, centroids: DataFrame, k: int = 3, res: int = KNN_RES_DEFAULT, ring: int = 1) -> DataFrame:
+def knn_join(
+    images: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    res: int = KNN_RES_DEFAULT,
+    ring: int = 1,
+    max_ring: int | None = None,
+) -> DataFrame:
     """k nearest walkable centroids per image (J13).
 
     Candidate generation: centroid cell exploded to its (2·ring+1)² neighbor
     cells; image joined on its own cell → every centroid within `ring` cells
     is a candidate. Exact for k-NN when the k-th neighbor lies within
-    ring·cell_side of the image (caller picks res/ring for the data scale;
-    tests verify exactness vs brute force). Refine: distance + row_number."""
+    ring·cell_side of the image. With `max_ring` set, images whose result is
+    NOT provably exact at this ring (fewer than k candidates, or k-th
+    candidate farther than ring·cell_side — the guaranteed-coverage radius)
+    escalate to doubled rings until exact or max_ring is reached — the
+    sparse-region fallback a 100× scale-up needs. Refine: distance +
+    row_number."""
+    if max_ring is not None and max_ring > ring:
+        from ..cells.grid import cell_side
+
+        side = cell_side(res)
+        out = None
+        remaining = images
+        r = ring
+        while True:
+            # materialize each level: the next level's anti-join must not
+            # re-derive this level's whole candidate plan (recursive
+            # recompute blow-up); at scale this is a checkpoint to the
+            # shuffle service / Icelite stage table
+            res_df = knn_join(remaining, centroids, k=k, res=res, ring=r).cache()
+            if r >= max_ring:
+                out = res_df if out is None else out.unionByName(res_df)
+                break
+            proven = (
+                res_df.groupBy("image_id")
+                .agg(F.count("*").alias("n"), F.max("dist").alias("kth"))
+                .filter((F.col("n") >= k) & (F.col("kth") <= r * side))
+                .select("image_id")
+            )
+            resolved = res_df.join(proven, "image_id", "left_semi")
+            out = resolved if out is None else out.unionByName(resolved)
+            remaining = remaining.join(proven, "image_id", "left_anti").cache()
+            if remaining.isEmpty():
+                break
+            r = min(r * 4, max_ring)
+        return out
+
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(T.ArrayType(T.LongType()))

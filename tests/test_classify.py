@@ -184,4 +184,4 @@ def test_clean_chain_metrics(spark):
     assert m["n_invalid"] == 3
     assert m["n_empty"] == 4
     assert m["n_untagged"] == 60
-    assert m["n_input"] == 147
+    assert m["n_input"] == 150  # 147 + 3 multi-kind rows (r02)

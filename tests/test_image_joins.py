@@ -117,6 +117,36 @@ def test_knn_matches_bruteforce(spark, layer_df, images_df):
             assert abs(e[2] - g[2]) < 1e-9
 
 
+def test_knn_ring_escalation_sparse(spark, layer_df, images_df):
+    """Sparse-region fallback: at ring=1 some images provably can't see k
+    candidates (or their k-th candidate isn't within the covered radius);
+    with max_ring set the join escalates and returns the exact brute-force
+    answer anyway — at a coarser res where ring=1 alone is insufficient."""
+    cents_df = joins.walkable_centroids(layer_df)
+    cents = cents_df.collect()
+    cent_xy = np.array([[r.cx, r.cy] for r in cents])
+    cent_pid = np.array([r.polygon_id for r in cents])
+    k = 3
+    # res=12 → tiny cells: ring 1 covers ~meters, guaranteed too small
+    knn = joins.knn_join(images_df, cents_df, k=k, res=12, ring=1, max_ring=64).collect()
+    engine = {}
+    for r in knn:
+        engine.setdefault(r.image_id, []).append((r.rank, int(r.polygon_id), r.dist))
+    pts = images_df.select("image_id", "x", "y").collect()
+    assert len(engine) == len(pts)  # nobody silently dropped
+    for r in pts:
+        d = np.hypot(cent_xy[:, 0] - r.x, cent_xy[:, 1] - r.y)
+        order = np.lexsort((cent_pid, d))[:k]
+        expected = [int(cent_pid[j]) for j in order]
+        got = [g[1] for g in sorted(engine[r.image_id])]
+        # beyond max_ring escalation stops; only assert for rows whose k-th
+        # true neighbor lies inside the final guaranteed radius
+        from osm_public_space_mapper_spark.cells.grid import cell_side
+
+        if float(np.sort(d)[k - 1]) <= 64 * cell_side(12):
+            assert expected == got, (r.image_id, expected, got)
+
+
 def test_tiles_roundtrip_iou(spark, layer_df):
     tiles = tiling.rasterize_tiles(layer_df, tile_res=10, px=0.25)
     tile_rows = tiles.collect()

@@ -615,6 +615,42 @@ def _q_emb_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS rolling-hash scheme) per document —
+    count + min/max fingerprint per doc keeps the row count bounded while
+    hashing every window minimum into the compared values."""
+    fps = TXT.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=16)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+        F.sum("fp").alias("sum_fp"),
+    )
+
+
+_WINNOW_DUCK = f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, {_HASH64_DUCK.format(x="substr(t, i, 8)")} AS h
+  FROM norm, LATERAL unnest(generate_series(1, length(t) - 7)) AS u(i)
+  WHERE length(t) >= 8
+),
+wins AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM grams
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n - 15)  -- pos is 1-based here
+SELECT doc_id, COUNT(*) AS n_fps, MIN(fp) AS min_fp, MAX(fp) AS max_fp,
+       CAST(SUM(fp) AS BIGINT) AS sum_fp
+FROM fps GROUP BY doc_id
+"""
+
+
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of the LSH ANN path vs exact brute-force top-5, per query."""
     k = 5
@@ -742,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": _q_doc_tokens,
         "doc_quality": _q_doc_quality,
         "doc_lang_guess": _q_lang,
+        "doc_winnow_fingerprints": _q_winnow,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_jaccard,
         "minhash_signatures": _q_minhash_sig,
@@ -775,6 +812,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": _TOKEN_DUCK,
         "doc_quality": _QUALITY_DUCK,
         "doc_lang_guess": _lang_sql_duck(),
+        "doc_winnow_fingerprints": _WINNOW_DUCK,
         "exact_dedup": _DEDUP_DUCK,
         "ngram_jaccard_pairs": _jaccard_sql_duck(3, 0.3),
         "minhash_signatures": _minhash_sql_duck(3),

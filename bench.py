@@ -29,8 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("BENCH_IMAGES", "200000"))
-# scaling runs need long-enough jobs to amortize per-job fixed costs (~2 s)
-N_IMAGES_SCALING = int(os.environ.get("BENCH_IMAGES_SCALING", "32000000"))
+# scaling runs need long-enough jobs to amortize per-job fixed costs (~2 s of
+# stage scheduling + python-worker spin-up): at 32M images the 8-core job ran
+# ~13 s and fixed costs capped 2→8 efficiency at ~0.74; at 96M it is 0.94
+N_IMAGES_SCALING = int(os.environ.get("BENCH_IMAGES_SCALING", "96000000"))
 
 
 def _sf_from_dir(d: str) -> float:

@@ -109,6 +109,44 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def winnow_fingerprints(df, k: int = 8, w: int = 16):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS
+    scheme): hash every char k-gram of the normalized text, slide a window
+    of w consecutive k-gram hashes, keep each window's minimum → the
+    distinct minima are the doc's fingerprint set. Guarantees any match of
+    length ≥ w+k-1 shares a fingerprint.
+
+    Pure Catalyst: posexplode over the k-gram index sequence, min over a
+    ROWS window — no UDFs; hashes are md5-derived (hash64) so the DuckDB
+    oracle reproduces them bit-for-bit. Returns (doc_id, fp) distinct."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    n_grams = F.length(norm) - F.lit(k - 1)
+    # guard: Spark's sequence(1, n) generates DESCENDING for n < 1
+    idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = df.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select("doc_id", "pos", hash64(F.col("gram")).alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    n_per_doc = Window.partitionBy("doc_id")
+    fps = (
+        hashed.withColumn("n", F.count("*").over(n_per_doc))
+        .withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("n") - w)  # full windows only
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return fps
+
+
 def hash64(col: Column) -> Column:
     """Portable 60-bit hash from md5 hex (same value in DuckDB via
     CAST(CONCAT('0x', substr(md5(x),1,15)) AS BIGINT))."""

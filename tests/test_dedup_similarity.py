@@ -74,3 +74,31 @@ def test_ann_recall_vs_bruteforce(spark):
     # rank-1 result always includes the query itself (cosine 1.0)
     for q, s in approx_sets.items():
         assert q in s
+
+
+def test_hot_shingle_cap_bounds_skew(spark):
+    """Adversarial stopword-heavy fixture: every doc shares the same prefix,
+    so its shingles have document frequency = n_docs — the self-join key
+    that goes quadratic at scale. With max_df set below n_docs the hot
+    shingles are dropped from BOTH the join and the set sizes; similarity
+    then comes only from the unique tails (none here → no pairs), while the
+    uncapped run pairs everything. A numpy oracle checks the capped
+    semantics exactly."""
+    n = 40
+    prefix = "the of and is a to in it on at"
+    rows = [(i, f"{prefix} unique{i} tail{i} word{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=None).collect()
+    assert len(uncapped) == n * (n - 1) // 2  # hot prefix pairs everyone
+
+    capped = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_df=n - 1).collect()
+    # oracle over the capped universe: shared shingles all exceed the cap,
+    # tails are unique → zero intersection → no qualifying pairs at all
+    assert capped == []
+
+    # cap above the hot df → identical to uncapped (inert-guard contract)
+    inert = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=n + 1).collect()
+    assert sorted((r.doc_a, r.doc_b, r.jaccard) for r in inert) == sorted(
+        (r.doc_a, r.doc_b, r.jaccard) for r in uncapped
+    )

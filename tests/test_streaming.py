@@ -46,3 +46,74 @@ def test_stream_ingest_to_icelite(spark, tmp_path):
     q2 = stream_to_icelite(stream2, str(tmp_path / "tbl"), str(tmp_path / "ckpt"))
     q2.awaitTermination(120)
     assert table.read(spark).count() == 600
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    """Watermark + tumbling window agg over the events table (availableNow):
+    the finished stream equals the equivalent batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from osm_public_space_mapper_spark.streaming.windows import windowed_event_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)  # file stream sources need a directory
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_event_counts(stream, window="10 minutes", watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("win_counts")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    expected = {
+        (r.ws, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in events.groupBy(
+            F.window("ts", "10 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("win.start").alias("ws"), "event_type", "n_events", "total_value")
+        .collect()
+    }
+    # append mode emits only watermark-closed windows; every emitted window
+    # must match batch exactly, and almost all windows must have closed
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v, (k, v, expected[k])
+    # only stream-tail windows inside the 30 min watermark may still be open:
+    # ≤ 3 windows × event types (5) = 15, plus margin
+    assert len(got) >= len(expected) - 25
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization (availableNow) equals the batch
+    events_sessionization query — the custom-stateful-operator check."""
+    import __spark_entry__ as E
+
+    from osm_public_space_mapper_spark.streaming.windows import sessionize_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)  # file stream sources need a directory
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = sessionize_stream(stream)
+    q = (
+        out.writeStream.format("memory").queryName("sess_stream")
+        .outputMode("update").option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    # update mode: take the LAST row per user (cumulative totals)
+    rows = spark.sql("SELECT * FROM sess_stream").collect()
+    got = {}
+    for r in rows:
+        got[r.user_id] = (r.n_sessions, r.n_events)
+    batch = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in E.queries()["events_sessionization"](spark, "/root/testdata/sf0.01").collect()
+    }
+    assert got == batch

@@ -66,3 +66,39 @@ def save_geojson(merged_layer_rows, fname: str) -> dict:
     with open(fname, "w") as f:
         json.dump(fc, f)
     return fc
+
+
+def write_geojsonl(layer: DataFrame, out_dir: str) -> None:  # noqa: F821
+    """Distributed newline-delimited GeoJSON sink (RFC 8142-style GeoJSONL):
+    one Feature per line, built and written entirely executor-side via an
+    Arrow kernel + df.write.text — no driver collect, so it scales with the
+    table (the FeatureCollection writer above stays for fixture-sized
+    exports, exactly like the reference's one-shot export)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _to_lines(batches):
+        for pdf in batches:
+            lines = []
+            for _, row in pdf.iterrows():
+                rings = np_parts(row["geom"])
+                feature = {
+                    "type": "Feature",
+                    "geometry": {
+                        "type": "MultiPolygon",
+                        "coordinates": _rings_to_multipolygon(rings),
+                    },
+                    "properties": {
+                        "space_category": row["space_category"],
+                        "access": row["access"],
+                    },
+                }
+                lines.append(json.dumps(feature, separators=(",", ":")))
+            yield pd.DataFrame({"value": lines})
+
+    (
+        layer.select("space_category", "access", "geom")
+        .mapInPandas(_to_lines, "value string")
+        .write.mode("overwrite")
+        .text(out_dir)
+    )

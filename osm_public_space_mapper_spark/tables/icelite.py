@@ -177,8 +177,17 @@ class IceliteTable:
         return new_snap
 
     # -- read --------------------------------------------------------------
-    def read(self, spark, partitions: list[str] | None = None):
-        snap = self.current_snapshot()
+    def snapshot(self, snapshot_id: int) -> dict:
+        """Load a historical snapshot by id (time travel — snapshots are
+        immutable; `history` in metadata.json lists them all)."""
+        with open(os.path.join(self.meta_dir, f"snap-{snapshot_id:06d}.json")) as f:
+            return json.load(f)
+
+    def read(self, spark, partitions: list[str] | None = None,
+             snapshot_id: int | None = None):
+        """Read the current snapshot, or a historical one via `snapshot_id`
+        (Iceberg-style time travel: VERSION AS OF)."""
+        snap = self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
         paths = [
             m["path"]
             for m in snap["manifests"]

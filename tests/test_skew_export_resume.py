@@ -108,3 +108,43 @@ def test_salted_pip_join_equals_unsalted(spark, layer):
             F.expr("bit_xor(xxhash64(image_id, space_category, access))").alias("h")
         ).collect()[0]["h"]
     assert h[0] == h[8]
+
+
+def test_geojsonl_distributed_sink(spark, layer, tmp_path):
+    """Executor-side GeoJSONL writer produces the same feature set as the
+    driver-side FeatureCollection export (scale sink parity)."""
+    from osm_public_space_mapper_spark.sources.geojson import write_geojsonl
+
+    merged_df = skew.merged_layer(layer)
+    out = str(tmp_path / "layer_geojsonl")
+    write_geojsonl(merged_df, out)
+    lines = spark.read.text(out).collect()
+    got = {}
+    for r in lines:
+        feat = json.loads(r.value)
+        k = (feat["properties"]["space_category"], feat["properties"]["access"])
+        got[k] = feat["geometry"]["coordinates"]
+    fc = save_geojson(merged_df.collect(), str(tmp_path / "fc.geojson"))
+    expected = {
+        (f["properties"]["space_category"], f["properties"]["access"]): f["geometry"]["coordinates"]
+        for f in fc["features"]
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k] == expected[k], k
+
+
+def test_icelite_time_travel(spark, tmp_path):
+    """Snapshot reads: VERSION AS OF semantics over the snapshot log."""
+    t = IceliteTable(str(tmp_path / "tt"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").withColumn(
+        "p", F.col("id") % 2
+    )
+    s1 = t.commit(df1, "p", stage="one")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string").withColumn("p", F.col("id") % 2)
+    s2 = t.commit(df2, "p", stage="two")
+    assert t.read(spark).count() == 3
+    assert t.read(spark, snapshot_id=s1["snapshot_id"]).count() == 2
+    assert t.read(spark, snapshot_id=s2["snapshot_id"]).count() == 3
+    ids1 = {r.id for r in t.read(spark, snapshot_id=s1["snapshot_id"]).collect()}
+    assert ids1 == {1, 2}

@@ -669,6 +669,20 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k (k-means coarse lists + nprobe probing).
+    Training (driver-side k-means over a bounded sample) is not
+    SQL-expressible, so this is rows-only for the driver; recall vs the
+    exact brute force is asserted in tests/test_dedup_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(emb, queries, k=5, n_lists=16, nprobe=4).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash64(_t(spark, sf_dir, "documents"), bits=32)
 
@@ -788,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_emb_topk,
         "ann_lsh_topk": _q_emb_ann,
         "ann_lsh_recall": _q_ann_recall,
+        "ivf_topk": _q_emb_ivf,
         # spatial / image engine ops (rows-only here; numpy-oracled in tests/)
         "pip_assign_counts": _q_pip_counts,
         "knn_walkable": _q_knn,

@@ -102,3 +102,24 @@ def test_hot_shingle_cap_bounds_skew(spark):
     assert sorted((r.doc_a, r.doc_b, r.jaccard) for r in inert) == sorted(
         (r.doc_a, r.doc_b, r.jaccard) for r in uncapped
     )
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF-flat (k-means lists + nprobe probing) recall@5 vs exact top-k."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    exact = SIM.brute_force_topk(emb, queries, k=5).collect()
+    approx = SIM.ivf_topk(emb, queries, k=5, n_lists=16, nprobe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6  # nprobe=4/16 recall floor
+    for q, s in approx_sets.items():
+        assert q in s  # the query itself is always its own top hit

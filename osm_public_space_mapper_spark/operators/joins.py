@@ -198,8 +198,15 @@ def pip_join_raster(
     group_res: int = 13,
     salt: int = 0,
     id_col: str = "image_id",
+    tiles_subdivided: bool = False,
 ) -> DataFrame:
     """J12 fast path: assign images via per-tile class-mask lookup.
+
+    tiles_subdivided=True declares the mask side is ALREADY at group_res
+    granularity (e.g. a stored `subdivide_tiles` output bucketed by
+    tile_cell) — the slice kernel is skipped so both sides keep their stored
+    partitioning and the whole join plans with zero Exchange
+    (tests/test_bucketed.py asserts this).
 
     The tile masks are rasterized from the SAME pixel lattice the vector
     layer's rings trace, so a pixel lookup equals the vector PIP answer for
@@ -213,8 +220,13 @@ def pip_join_raster(
 
     id_type = dict(images.dtypes)[id_col]
     # x,y are already projected (project_points precondition) — encode the
-    # group cell from them directly instead of re-projecting lon/lat
-    imgs = images.withColumn("tile_cell", cell_udf(group_res)(F.col("x"), F.col("y"))).select(
+    # group cell from them directly instead of re-projecting lon/lat.
+    # A pre-existing tile_cell column is trusted and REUSED: tables bucketed
+    # by tile_cell (tables/bucketed.py) then reach the cogroup with their
+    # bucket partitioning intact → zero Exchange in the plan.
+    if "tile_cell" not in images.columns:
+        images = images.withColumn("tile_cell", cell_udf(group_res)(F.col("x"), F.col("y")))
+    imgs = images.select(
         F.col(id_col).alias("image_id"), "x", "y", "tile_cell"
     )
     out_schema = T.StructType(
@@ -225,8 +237,12 @@ def pip_join_raster(
             T.StructField("tile_cell", T.LongType()),
         ]
     )
-    t = subdivide_tiles(tiles, group_res) if group_res > tile_res else tiles.select(
-        "tile_cell", "space_category", "access", "mask", "mask_w", "mask_h", "ox", "oy", "px"
+    t = (
+        subdivide_tiles(tiles, group_res)
+        if group_res > tile_res and not tiles_subdivided
+        else tiles.select(
+            "tile_cell", "space_category", "access", "mask", "mask_w", "mask_h", "ox", "oy", "px"
+        )
     )
     group_keys = ["tile_cell"]
     if salt > 0:

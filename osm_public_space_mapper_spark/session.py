@@ -7,6 +7,7 @@ parallelism scaling protocol)."""
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -28,5 +29,13 @@ def get_spark(app: str = "osm-public-space-mapper-spark", cores: int | str = "*"
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # managed (bucketed) tables land in tmp, never the repo working dir
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_WAREHOUSE_DIR",
+                os.path.join(tempfile.gettempdir(), "ospm_warehouse"),
+            ),
+        )
     )
     return builder.getOrCreate()

@@ -575,6 +575,26 @@ def _q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(TXT.mean_word_len(F.col("text")), 6).alias("mean_word_len"),
+        F.round(TXT.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+    )
+
+
+_WORD_STATS_DUCK = """
+SELECT doc_id,
+       ROUND(CAST(length(list_aggregate(regexp_extract_all(lower(text), '[a-z]+'), 'string_agg', '')) AS DOUBLE)
+             / GREATEST(len(regexp_extract_all(lower(text), '[a-z]+')), 1), 6) AS mean_word_len,
+       ROUND(CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS DOUBLE)
+             / GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 6) AS stopword_ratio
+FROM documents
+"""
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -793,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_lang_guess": _q_lang,
         "doc_winnow_fingerprints": _q_winnow,
+        "doc_word_stats": _q_word_stats,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_jaccard,
         "minhash_signatures": _q_minhash_sig,
@@ -828,6 +849,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _QUALITY_DUCK,
         "doc_lang_guess": _lang_sql_duck(),
         "doc_winnow_fingerprints": _WINNOW_DUCK,
+        "doc_word_stats": _WORD_STATS_DUCK,
         "exact_dedup": _DEDUP_DUCK,
         "ngram_jaccard_pairs": _jaccard_sql_duck(3, 0.3),
         "minhash_signatures": _minhash_sql_duck(3),

@@ -184,7 +184,7 @@ def ngram_jaccard_pairs(
     join payload, and no interpreted higher-order expressions."""
     sh = doc_shingle_profiles(documents, n).select(
         "doc_id", F.explode("shh").alias("sh")
-    )
+    ).cache()  # consumed by sizes + both self-join sides
     if max_df is not None:
         hot = (
             sh.groupBy("sh")

@@ -14,12 +14,8 @@ from osm_public_space_mapper_spark.tables.bucketed import images_with_tile_cell,
 
 
 @pytest.fixture(scope="module")
-def tiles_df(spark):
-    ring = projected_bbox_ring(BBOX_4326["left"], BBOX_4326["bottom"], BBOX_4326["right"], BBOX_4326["top"])
-    env = (float(ring[:, 0].min()), float(ring[:, 1].min()), float(ring[:, 0].max()), float(ring[:, 1].max()))
-    cfg = OverlayConfig(px=0.25, margin=64.0, bbox=env, bbox_ring=ring)
-    layer = run_pipeline(elements_to_spark(spark), cfg, overlay_res=8)
-    return tiling.rasterize_tiles(layer, tile_res=10, px=0.25)
+def tiles_df(fixture_layer):
+    return tiling.rasterize_tiles(fixture_layer, tile_res=10, px=0.25)
 
 
 def test_bucketed_pip_join_no_exchange(spark, tiles_df):

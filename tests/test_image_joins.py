@@ -19,11 +19,8 @@ N_IMAGES = 1500
 
 
 @pytest.fixture(scope="module")
-def layer_df(spark):
-    ring = projected_bbox_ring(BBOX_4326["left"], BBOX_4326["bottom"], BBOX_4326["right"], BBOX_4326["top"])
-    env = (float(ring[:, 0].min()), float(ring[:, 1].min()), float(ring[:, 0].max()), float(ring[:, 1].max()))
-    cfg = OverlayConfig(px=0.25, margin=64.0, bbox=env, bbox_ring=ring)
-    return run_pipeline(elements_to_spark(spark), cfg, overlay_res=8).cache()
+def layer_df(fixture_layer):
+    return fixture_layer
 
 
 @pytest.fixture(scope="module")

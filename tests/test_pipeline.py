@@ -28,13 +28,8 @@ def _frac_to_proj(fx, fy):
 
 
 @pytest.fixture(scope="module")
-def layer(spark):
-    ring = projected_bbox_ring(BBOX_4326["left"], BBOX_4326["bottom"], BBOX_4326["right"], BBOX_4326["top"])
-    env = (float(ring[:, 0].min()), float(ring[:, 1].min()), float(ring[:, 0].max()), float(ring[:, 1].max()))
-    cfg = OverlayConfig(px=0.25, margin=64.0, bbox=env, bbox_ring=ring)
-    df = elements_to_spark(spark)
-    out = run_pipeline(df, cfg, overlay_res=8)
-    return out.collect()
+def layer(fixture_layer):
+    return fixture_layer.collect()
 
 
 def _lookup(layer_rows, fx, fy):

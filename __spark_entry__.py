@@ -277,7 +277,7 @@ WITH e AS (
               THEN 1 ELSE 0 END AS brk
   FROM e
 )
-SELECT user_id, SUM(brk) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM d GROUP BY user_id
 """
 
@@ -474,6 +474,57 @@ ann_topk AS (
 
 def _ann_sql_duck(k: int = 5, n_bits: int = 8, dim: int = 64, seed: int = 42) -> str:
     return f"WITH {_ann_duck_ctes(k, n_bits, dim, seed)}\nSELECT query_id, vec_id, cosine, rank FROM ann_topk"
+
+
+def _ivf_sql_duck(k: int = 5, n_lists: int = 16, nprobe: int = 4) -> str:
+    """Reproduces similarity.ivf_topk(train=False) end-to-end in DuckDB:
+    seed quantizer = first n_lists vectors by vec_id; nearest-list assignment
+    and probe both rank by ROUND(cosine, 6) DESC, list_id ASC (the Spark
+    kernel rounds + stable-sorts identically); exact cosine re-rank inside
+    the probed lists."""
+    # cosine(a_norm, b_norm) == cosine(a, b): the norm form matches
+    # cosine_expr / _ann_duck_ctes arithmetic
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+            f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+            f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+        )
+
+    return f"""
+WITH cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id, embedding AS cemb
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_lists})
+),
+corpus_ranked AS (
+  SELECT e.vec_id, e.embedding, c.list_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({cos('e.embedding', 'c.cemb')}, 6) DESC, c.list_id ASC
+         ) AS rk
+  FROM embeddings e CROSS JOIN cents c
+),
+corpus_assign AS (SELECT vec_id, embedding, list_id FROM corpus_ranked WHERE rk = 1),
+qs AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+q_ranked AS (
+  SELECT q.query_id, q.embedding, c.list_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY ROUND({cos('q.embedding', 'c.cemb')}, 6) DESC, c.list_id ASC
+         ) AS rk
+  FROM qs q CROSS JOIN cents c
+),
+probes AS (SELECT query_id, embedding, list_id FROM q_ranked WHERE rk <= {nprobe}),
+ivf_scored AS (
+  SELECT DISTINCT p.query_id, ca.vec_id,
+         ROUND({cos('p.embedding', 'ca.embedding')}, 6) AS cosine
+  FROM probes p JOIN corpus_assign ca USING (list_id)
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM ivf_scored
+) WHERE rank <= {k}
+"""
 
 
 def _ann_recall_sql_duck(k: int = 5, n_bits: int = 8, dim: int = 64, seed: int = 42) -> str:
@@ -692,13 +743,16 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_emb_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-k (k-means coarse lists + nprobe probing).
     Training (driver-side k-means over a bounded sample) is not
-    SQL-expressible, so this is rows-only for the driver; recall vs the
-    exact brute force is asserted in tests/test_dedup_similarity.py."""
+    Runs the seed-quantizer variant (train=False: centroids = first-16
+    vectors by vec_id, ORDER BY + LIMIT — SQL-expressible), so the DuckDB
+    oracle reproduces the whole index build + probe + re-rank and the driver
+    hash-checks it. The k-means-trained variant's recall + determinism are
+    asserted in tests/test_dedup_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return SIM.ivf_topk(emb, queries, k=5, n_lists=16, nprobe=4).select(
+    return SIM.ivf_topk(emb, queries, k=5, n_lists=16, nprobe=4, train=False).select(
         "query_id", "vec_id", "cosine", "rank"
     )
 
@@ -859,4 +913,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _TOPK_DUCK,
         "ann_lsh_topk": _ann_sql_duck(),
         "ann_lsh_recall": _ann_recall_sql_duck(),
+        "ivf_topk": _ivf_sql_duck(),
     }

@@ -86,6 +86,10 @@ def doc_shingle_profiles(documents: DataFrame, n: int = 3) -> DataFrame:
         for pdf in batches:
             ids, sigs, shhs = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    # NULL text → zero shingles, matching the null-safe
+                    # Catalyst expression path this kernel replaced
+                    continue
                 norm = ws_re.sub(" ", text.strip(" ").lower())
                 words = norm.split(" ")
                 m = len(words) - n + 1
@@ -262,11 +266,15 @@ def embedding_dups(
     all-pairs and run at matmul speed, not per-pair expression interpretation.
     This mirrors the block approach of mllib's columnSimilarities/DIMSUM.
     For high thresholds at extreme scale, `embedding_dups_lsh` trades recall
-    for candidate pruning."""
-    import math
+    for candidate pruning.
 
+    n_blocks: callers at scale should size this ≈ N/block_size. When omitted
+    it derives from the scan's partition count (a file-count heuristic —
+    pure plan metadata, no job), never a `.count()` scan: partitions ≈
+    bytes/maxPartitionBytes, so blocks track data volume at write-time row
+    sizes without an extra pass over the table."""
     if n_blocks is None:
-        n_blocks = max(1, math.ceil(embeddings.count() / block_size))
+        n_blocks = max(1, embeddings.rdd.getNumPartitions())
     nb = n_blocks
     spark = embeddings.sparkSession
     e = embeddings.select("vec_id", "embedding").withColumn(
@@ -295,15 +303,18 @@ def embedding_dups(
             return empty
         same = pdf["bi"].iat[0] == pdf["bj"].iat[0]
         left = pdf[pdf["role"] == 0]
+        right = pdf[pdf["role"] == 1]
+        # guard BEFORE np.stack: a group holding only one role (empty hash
+        # block, or n_blocks larger than the populated block count) must
+        # yield no pairs, not an np.stack ValueError
+        if left.empty or (not same and right.empty):
+            return empty
         ids_l = left["vec_id"].to_numpy()
         ml = np.stack(left["embedding"].to_numpy()).astype(np.float64)
         ml /= np.linalg.norm(ml, axis=1, keepdims=True)
         if same:
             ids_r, mr = ids_l, ml
         else:
-            right = pdf[pdf["role"] == 1]
-            if right.empty or left.empty:
-                return empty
             ids_r = right["vec_id"].to_numpy()
             mr = np.stack(right["embedding"].to_numpy()).astype(np.float64)
             mr /= np.linalg.norm(mr, axis=1, keepdims=True)

@@ -55,33 +55,25 @@ def lsh_bucket_expr(emb_col, planes: list[list[float]]):
     return bucket
 
 
-def ivf_topk(
+def train_ivf_centroids(
     embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_lists: int = 16,
-    nprobe: int = 4,
     sample: int = 2048,
     iters: int = 10,
     seed: int = 42,
-) -> DataFrame:
-    """IVF approximate top-k (FAISS IVF-flat structure, Spark-native):
+) -> list[list[float]]:
+    """Deterministic k-means coarse-quantizer training on a bounded sample.
 
-    1. TRAIN: k-means coarse quantizer on a bounded SAMPLE of the corpus
-       (driver-side numpy over ≤`sample` rows — constant-size regardless of
-       corpus scale, like any ANN index build).
-    2. ASSIGN: every corpus vector gets its nearest-centroid list id via a
-       vectorized Arrow kernel against the broadcast centroids (map-only).
-    3. PROBE: each query explodes to its `nprobe` nearest lists; candidates
-       come from a list-id equi-join (never all-pairs), then exact cosine
-       re-rank.
-
-    Recall vs brute force is measured in tests; the trade dial is
-    nprobe/n_lists."""
+    The sample is the first `sample` corpus rows by vec_id —
+    orderBy + limit plans as TakeOrderedAndProject (per-partition partial
+    top-n, then a driver merge: no full sort, no dependence on partition
+    layout), so the SAME centroids come back at any parallelism. The r02
+    version used bare .limit(), whose row choice depends on which partitions
+    answer first — non-deterministic across cluster sizes."""
     samp = np.array(
         [
             np.asarray(r["embedding"], dtype=np.float64)
-            for r in embeddings.select("embedding").limit(sample).collect()
+            for r in embeddings.select("vec_id", "embedding").orderBy("vec_id").limit(sample).collect()
         ]
     )
     samp /= np.linalg.norm(samp, axis=1, keepdims=True)
@@ -96,16 +88,68 @@ def ivf_topk(
                 n = np.linalg.norm(c)
                 if n > 0:
                     cents[j] = c / n
-    cents_list = cents.tolist()
+    return cents.tolist()
+
+
+def seed_ivf_centroids(embeddings: DataFrame, n_lists: int = 16) -> list[list[float]]:
+    """Untrained coarse quantizer: the first `n_lists` corpus vectors by
+    vec_id, unit-normalized. SQL-expressible (ORDER BY vec_id LIMIT n) — the
+    DuckDB oracle reproduces it exactly, making the full IVF query
+    hash-checkable; the k-means path (`train_ivf_centroids`) trades that for
+    better list balance."""
+    rows = embeddings.select("vec_id", "embedding").orderBy("vec_id").limit(n_lists).collect()
+    cents = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents.tolist()
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    train: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k (FAISS IVF-flat structure, Spark-native):
+
+    1. TRAIN: deterministic coarse quantizer — k-means on a bounded
+       TakeOrdered sample (`train=True`), the first-n_lists medoid seed
+       (`train=False`, DuckDB-oracle-expressible), or caller-provided
+       `centroids` (FAISS's user-supplied-quantizer mode).
+    2. ASSIGN: every corpus vector gets its nearest-centroid list id via a
+       vectorized Arrow kernel against the broadcast centroids (map-only).
+    3. PROBE: each query explodes to its `nprobe` nearest lists; candidates
+       come from a list-id equi-join (never all-pairs), then exact cosine
+       re-rank.
+
+    Assignment ranks by ROUND(cosine, 6) with list-id tie-break (stable
+    argsort) — the same ordering the SQL oracle states, so BLAS-vs-sequential
+    summation noise below 1e-6 can't flip an assignment differently on the
+    two engines. Recall vs brute force is measured in tests; the trade dial
+    is nprobe/n_lists."""
+    if centroids is not None:
+        cents_list = centroids
+    elif train:
+        cents_list = train_ivf_centroids(embeddings, n_lists, sample, iters, seed)
+    else:
+        cents_list = seed_ivf_centroids(embeddings, n_lists)
 
     def _list_ids(col: pd.Series, top: int) -> pd.Series:
         c = np.asarray(cents_list, dtype=np.float64)
+        c = c / np.linalg.norm(c, axis=1, keepdims=True)
 
         def _assign(batch: pd.Series) -> pd.Series:
             m = np.stack(batch.to_numpy()).astype(np.float64)
             m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            sims = m @ c.T
-            idx = np.argsort(-sims, axis=1)[:, :top]
+            sims = np.round(m @ c.T, 6)
+            # stable sort on -sim → ties broken by ascending list_id,
+            # matching the oracle's ORDER BY cosine DESC, list_id ASC
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :top]
             return pd.Series(list(idx), index=batch.index).map(lambda a: a.tolist())
 
         return _assign(col)

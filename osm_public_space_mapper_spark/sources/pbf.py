@@ -122,15 +122,31 @@ def blob_frames(path: str) -> list[tuple[str, int, int]]:
     return frames
 
 
+# entity-type id offsets: type lives in bits 61/62 so node/way/relation ids
+# can never alias (OSM ids are < 2^61 by an enormous margin)
+WAY_ID_OFFSET = 1 << 61
+REL_ID_OFFSET = 1 << 62
+
+_BLOB_CODECS = {4: "lzma", 5: "bzip2", 6: "lz4", 7: "zstd"}
+
+
 def _blob_raw(payload: bytes) -> bytes:
-    raw, zdata = None, None
+    raw, zdata, other = None, None, None
     for fno, val in _fields(payload):
         if fno == 1:
             raw = val
         elif fno == 3:
             zdata = val
+        elif fno in _BLOB_CODECS:
+            other = _BLOB_CODECS[fno]
     if raw is not None:
         return raw
+    if zdata is None:
+        raise ValueError(
+            f"unsupported PBF blob compression: {other or 'unknown'} "
+            "(this reader handles raw and zlib blobs, the only codecs "
+            "planet/Geofabrik exports use; re-encode with osmium cat)"
+        )
     return zlib.decompress(zdata)
 
 
@@ -341,8 +357,10 @@ def entities(spark, path: str):
 def load_elements(spark, path: str):
     """PBF → elements DataFrame (element_id, geom_kind, geom, tags) in 4326.
 
-    element_id is the OSM id offset by entity type (node +0, way +1e10·1,
-    relation +1e10·2) so ids stay unique across types. Invalid/unassemblable
+    element_id encodes the entity type in the top bits of the OSM id
+    (node +0, way +2^61, relation +2^62). OSM node ids passed 10^10 in 2023,
+    so a decimal offset collides on planet data; 2^61 leaves ~2.3e18 of id
+    headroom per type inside int64. Invalid/unassemblable
     geometries keep a row with geom=NULL (dropped by the clean chain, same
     as the reference's Invalid handling)."""
     from pyspark.sql import functions as F
@@ -389,7 +407,7 @@ def load_elements(spark, path: str):
         & (F.element_at("refs", 1) == F.element_at("refs", F.size("refs")))
     )
     way_elems = way_geom.select(
-        (F.col("id") + F.lit(10_000_000_000)).alias("element_id"),
+        (F.col("id") + F.lit(WAY_ID_OFFSET)).alias("element_id"),
         F.when(F.col("line").isNull(), F.lit(None))
         .when(closed, F.lit("polygon"))
         .otherwise(F.lit("linestring"))
@@ -426,7 +444,7 @@ def load_elements(spark, path: str):
     def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         rid = int(pdf["rel_id"].iloc[0])
         tags = pdf["tags"].iloc[0]
-        out_id = rid + 20_000_000_000
+        out_id = rid + REL_ID_OFFSET
         bad = pd.DataFrame(
             {"element_id": [out_id], "geom_kind": [None], "geom": [None], "tags": [tags]}
         )
@@ -457,7 +475,7 @@ def load_elements(spark, path: str):
     other_rels = rels.filter(
         F.col("tags")["type"].isNull() | (F.col("tags")["type"] != "multipolygon")
     ).select(
-        (F.col("id") + F.lit(20_000_000_000)).alias("element_id"),
+        (F.col("id") + F.lit(REL_ID_OFFSET)).alias("element_id"),
         F.lit(None).cast("string").alias("geom_kind"),
         F.lit(None).cast("array<array<array<double>>>").alias("geom"),
         "tags",

@@ -113,22 +113,28 @@ class IceliteTable:
                     total = total * np.uint64(1099511628211) + h  # FNV-ish column mix
                 return total
 
-            buf: dict = {}
-            for pdf in batches:
-                for val, grp in pdf.groupby(pcol, sort=False):
-                    buf.setdefault(val, []).append(grp)
+            # flush per Arrow batch — a task never buffers more than one
+            # batch, so memory stays bounded regardless of partition size;
+            # a partition spanning batches just yields several data files,
+            # which the manifest (one row per FILE) already models.
             rows = {"partition": [], "path": [], "row_count": [], "content_hash": []}
-            for val, grps in buf.items():
-                pdf = pd.concat(grps, ignore_index=True)
-                pdir = os.path.join(out_dir, f"{pcol}={val}")
-                os.makedirs(pdir, exist_ok=True)
-                fpath = os.path.join(pdir, f"part-{_uuid.uuid4().hex[:16]}.parquet")
-                pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), fpath)
-                h = _row_hashes(pdf)
-                rows["partition"].append(str(val))
-                rows["path"].append(fpath)
-                rows["row_count"].append(len(pdf))
-                rows["content_hash"].append(int(h.sum(dtype=np.uint64)))
+            for pdf in batches:
+                # dropna=False: rows with a NULL partition value must land in
+                # the table (under the Hive default-partition sentinel, like
+                # the partitionBy writer this replaced), not be silently lost
+                for val, grp in pdf.groupby(pcol, sort=False, dropna=False):
+                    if pd.isna(val):
+                        val = "__HIVE_DEFAULT_PARTITION__"
+                    pdir = os.path.join(out_dir, f"{pcol}={val}")
+                    os.makedirs(pdir, exist_ok=True)
+                    fpath = os.path.join(pdir, f"part-{_uuid.uuid4().hex[:16]}.parquet")
+                    grp = grp.reset_index(drop=True)
+                    pq.write_table(pa.Table.from_pandas(grp, preserve_index=False), fpath)
+                    h = _row_hashes(grp)
+                    rows["partition"].append(str(val))
+                    rows["path"].append(fpath)
+                    rows["row_count"].append(len(grp))
+                    rows["content_hash"].append(int(h.sum(dtype=np.uint64)))
             yield pd.DataFrame(rows)
 
         lineage_rows = (
@@ -217,7 +223,14 @@ class IceliteTable:
 
         done = self.completed_partitions(stage)
         if done:
-            df = df.filter(~F.col(partition_col).cast("string").isin(list(done)))
+            # NULL-safe anti-filter: coalesce to the same sentinel the writer
+            # files NULL partitions under, so (a) a committed NULL partition
+            # is skipped and (b) an uncommitted one isn't dropped by
+            # NULL-propagating isin()
+            key = F.coalesce(
+                F.col(partition_col).cast("string"), F.lit("__HIVE_DEFAULT_PARTITION__")
+            )
+            df = df.filter(~key.isin(list(done)))
         if df.isEmpty():
             return self.current_snapshot()
         return self.commit(df, partition_col, stage=stage, mode="append")

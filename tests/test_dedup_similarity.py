@@ -123,3 +123,26 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert sum(recalls) / len(recalls) >= 0.6  # nprobe=4/16 recall floor
     for q, s in approx_sets.items():
         assert q in s  # the query itself is always its own top hit
+
+
+def test_ivf_training_deterministic_across_partitioning(spark):
+    """The k-means sample is a TakeOrdered top-n by vec_id, so centroids —
+    and therefore the whole IVF result — must be identical no matter how the
+    input is partitioned (the two-cluster-size determinism contract; the r02
+    bare .limit() sample depended on partition order)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    variants = [emb.repartition(3), emb.repartition(32, "vec_id"), emb.coalesce(1)]
+    cents = [SIM.train_ivf_centroids(v, n_lists=16, sample=512) for v in variants]
+    assert cents[0] == cents[1] == cents[2]
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    results = [
+        sorted(
+            (r.query_id, r.vec_id, r.rank)
+            for r in SIM.ivf_topk(v, queries, k=5, n_lists=16, nprobe=4, sample=512).collect()
+        )
+        for v in variants[:2]
+    ]
+    assert results[0] == results[1]

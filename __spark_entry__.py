@@ -845,9 +845,91 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cell-encode throughput op: images per res-12 cell (skew showcase)."""
-    images = _images(spark, 5000)
+    """Cell-encode throughput op: images per res-12 cell (skew showcase).
+
+    Input is the Weyl-deterministic images table (pure-arithmetic synth), so
+    the whole geotag→LAEA-project→cell-encode chain — including the from-
+    scratch Snyder ellipsoidal projection in geo/laea.py — is reproduced and
+    hash-checked by the DuckDB oracle (_cell_hist_sql_duck)."""
+    from osm_public_space_mapper_spark.fixtures.images import weyl_images_spark
+    from osm_public_space_mapper_spark.operators import joins
+
+    _ensure_pyfiles(spark)
+    images = joins.with_cells(joins.project_points(joins.with_geotag(weyl_images_spark(spark, 5000))))
     return images.groupBy("cell").agg(F.count("*").alias("n_images"))
+
+
+def _cell_hist_sql_duck(n: int = 5000) -> str:
+    """Reproduces _q_cell_histogram end-to-end in DuckDB SQL: Weyl image
+    synthesis (generate_series + identical double arithmetic), phash
+    quantization, the Snyder ellipsoidal LAEA forward (geo/laea.py constants
+    embedded as repr literals — exact double round-trip), and the 64-bit
+    cell encode at res 12. Trig ulp differences between numpy and libm only
+    matter within ~1e-9 m of a 64 m cell edge — negligible at any n."""
+    from osm_public_space_mapper_spark.cells.grid import cell_side
+    from osm_public_space_mapper_spark.fixtures.elements import BBOX_4326
+    from osm_public_space_mapper_spark.fixtures.images import _HOTSPOTS, WEYL_X, WEYL_Y
+    from osm_public_space_mapper_spark.geo import laea
+
+    import numpy as np
+
+    rad = repr(float(np.deg2rad(1.0)))
+    e, e2 = repr(laea._E.item()), repr(laea._E2)
+    inv_2e = repr(1.0 / (2.0 * laea._E.item()))
+    qp, lon0 = repr(laea._QP), repr(float(laea._LON0))
+    sb1, cb1 = repr(laea._SIN_B1.item()), repr(laea._COS_B1.item())
+    rq, d = repr(laea._RQ.item()), repr(laea._D.item())
+    fe, fn = repr(laea._FE), repr(laea._FN)
+    left, dlon = repr(BBOX_4326["left"]), repr(BBOX_4326["right"] - BBOX_4326["left"])
+    bottom, dlat = repr(BBOX_4326["bottom"]), repr(BBOX_4326["top"] - BBOX_4326["bottom"])
+    side = repr(cell_side(12))
+
+    def frac(c: str) -> str:
+        return f"(({c}) - floor({c}))"
+
+    fx_seq, fy_seq = f"(i * {WEYL_X!r})", f"(i * {WEYL_Y!r})"
+    hx = f"(CASE WHEN (i % 10) = 0 THEN {_HOTSPOTS[0][0]!r} ELSE {_HOTSPOTS[1][0]!r} END)"
+    hy = f"(CASE WHEN (i % 10) = 0 THEN {_HOTSPOTS[0][1]!r} ELSE {_HOTSPOTS[1][1]!r} END)"
+    fx = f"(CASE WHEN (i % 5) = 0 THEN {hx} + ({frac(fx_seq)} - 0.5) * 0.02 ELSE {frac(fx_seq)} * 0.998 + 0.001 END)"
+    fy = f"(CASE WHEN (i % 5) = 0 THEN {hy} + ({frac(fy_seq)} - 0.5) * 0.02 ELSE {frac(fy_seq)} * 0.998 + 0.001 END)"
+
+    def q_of(s: str) -> str:
+        return (
+            f"((1.0 - {e2}) * (({s}) / (1.0 - {e2} * ({s}) * ({s}))"
+            f" - {inv_2e} * ln((1.0 - {e} * ({s})) / (1.0 + {e} * ({s})))))"
+        )
+
+    return f"""
+WITH ids AS (SELECT CAST(range AS DOUBLE) AS i, range AS id FROM range(0, {n})),
+fracs AS (SELECT id, {fx} AS fx, {fy} AS fy FROM ids),
+geo AS (
+  SELECT id,
+         {left} + floor(fx * 4294967296.0) / 4294967296.0 * {dlon} AS lon,
+         {bottom} + floor(fy * 4294967296.0) / 4294967296.0 * {dlat} AS lat
+  FROM fracs
+),
+ang AS (
+  SELECT id,
+         asin(least(greatest({q_of('sin(lat * ' + rad + ')')} / {qp}, -1.0), 1.0)) AS beta,
+         lon * {rad} - {lon0} AS dl
+  FROM geo
+),
+proj AS (
+  SELECT id,
+         ({rq} * sqrt(2.0 / (1.0 + {sb1} * sin(beta) + {cb1} * cos(beta) * cos(dl))))
+           * {d} * cos(beta) * sin(dl) + {fe} AS x,
+         (({rq} * sqrt(2.0 / (1.0 + {sb1} * sin(beta) + {cb1} * cos(beta) * cos(dl))))
+           / {d}) * ({cb1} * sin(beta) - {sb1} * cos(beta) * cos(dl)) + {fn} AS y
+  FROM ang
+),
+cells AS (
+  SELECT (CAST(12 AS BIGINT) << 58)
+         + (CAST(floor(x / {side}) AS BIGINT) << 29)
+         + CAST(floor(y / {side}) AS BIGINT) AS cell
+  FROM proj
+)
+SELECT cell, COUNT(*) AS n_images FROM cells GROUP BY cell
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -914,4 +996,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_sql_duck(),
         "ann_lsh_recall": _ann_recall_sql_duck(),
         "ivf_topk": _ivf_sql_duck(),
+        "image_cell_histogram": _cell_hist_sql_duck(),
     }

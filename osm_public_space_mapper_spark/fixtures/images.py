@@ -138,3 +138,49 @@ def images_to_spark(spark, pdf=None, n: int = 2000, seed: int = 42, with_pixels:
         ]
     )
     return spark.createDataFrame(pdf, schema)
+
+
+# Weyl low-discrepancy steps (frac of golden ratio / plastic-number powers):
+# irrational-step sequences cover the bbox uniformly and are PURE double
+# arithmetic — the same rows are reproducible in any engine (the DuckDB
+# oracle rebuilds this table with generate_series + identical expressions),
+# unlike the Mersenne-Twister fixture above.
+WEYL_X = 0.6180339887498949
+WEYL_Y = 0.7548776662466927
+
+
+def weyl_images_spark(spark, n: int, seed: int = 0):
+    """Deterministic, SQL-oracle-expressible images table (expression-only
+    synthesis, no numpy/driver loop — scales with spark.range).
+
+    Keeps the two-hotspot skew of `generate_images` (every 5th row lands in a
+    dense urban-center blob) and the geotag-from-phash invariant: phash packs
+    floor(fy·2^32)<<32 | floor(fx·2^32), which `joins.with_geotag` unpacks."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n)
+    i = F.col("id").cast("double") + F.lit(float(seed))
+
+    def frac(c):
+        return c - F.floor(c)
+
+    fx_cold = frac(i * F.lit(WEYL_X)) * F.lit(0.998) + F.lit(0.001)
+    fy_cold = frac(i * F.lit(WEYL_Y)) * F.lit(0.998) + F.lit(0.001)
+    hot = F.pmod(F.col("id"), F.lit(5)) == 0
+    which = F.pmod(F.floor(F.col("id") / 5), F.lit(2))
+    hx = F.when(which == 0, F.lit(_HOTSPOTS[0][0])).otherwise(F.lit(_HOTSPOTS[1][0]))
+    hy = F.when(which == 0, F.lit(_HOTSPOTS[0][1])).otherwise(F.lit(_HOTSPOTS[1][1]))
+    fx = F.when(hot, hx + (frac(i * F.lit(WEYL_X)) - F.lit(0.5)) * F.lit(0.02)).otherwise(fx_cold)
+    fy = F.when(hot, hy + (frac(i * F.lit(WEYL_Y)) - F.lit(0.5)) * F.lit(0.02)).otherwise(fy_cold)
+    lo = F.floor(fx * F.lit(4294967296.0)).cast("long")
+    hi = F.floor(fy * F.lit(4294967296.0)).cast("long")
+    phash = F.shiftleft(hi, 32).bitwiseOR(lo)
+    return df.select(
+        F.concat(F.lit("wimg-"), F.lpad(F.col("id").cast("string"), 10, "0")).alias("image_id"),
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit(32).alias("w"),
+        F.lit(32).alias("h"),
+        F.lit("raw").alias("fmt"),
+        F.concat(F.lit("weyl scene "), F.col("id").cast("string")).alias("caption"),
+        phash.alias("phash"),
+    )

@@ -120,13 +120,28 @@ def doc_minhashes(documents: DataFrame, n: int = 3) -> DataFrame:
     return doc_shingle_profiles(documents, n).select("doc_id", "minhashes")
 
 
-def minhash_lsh_pairs(documents: DataFrame, n: int = 3, jaccard_threshold: float = 0.5) -> DataFrame:
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 2000,
+) -> DataFrame:
     """Candidate pairs via band-bucket join, verified with exact shingle
     Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
     The verify join ships distinct shingle-HASH arrays (8 B/shingle), not the
     raw shingle strings — payload-light at scale; set Jaccard over 60-bit
-    hashes equals string Jaccard up to md5 collisions."""
+    hashes equals string Jaccard up to md5 collisions.
+
+    max_bucket is the skew guard (the analog of ngram_jaccard_pairs'
+    max_df): a degenerate corpus — many near-identical docs — lands d docs
+    in ONE (band, sig) bucket, whose self-join is d² rows in a single task.
+    Buckets above the cap are re-paired through salted block-grid groups
+    (each doc hashes to one of g = ceil(d/cap) salt blocks; upper-triangle
+    block pairs become the join key), so the SAME exact pair set comes out
+    but no task handles more than ~2·cap rows. The cap is inert on
+    non-degenerate data (every bucket ≤ cap → the plain self-join), so the
+    DuckDB oracle output is unchanged."""
     profiles = doc_shingle_profiles(documents, n).cache()
     mh = profiles.select("doc_id", "minhashes")
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
@@ -149,13 +164,47 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, jaccard_threshold: float
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    cand = (
-        bands.alias("l")
-        .join(bands.alias("r"), ["band", "sig"])
+
+    sizes = bands.groupBy("band", "sig").agg(F.count("*").alias("bn"))
+    hot_keys = sizes.filter(F.col("bn") > max_bucket)
+    cold = bands.join(F.broadcast(hot_keys.select("band", "sig")), ["band", "sig"], "left_anti")
+    cand_cold = (
+        cold.alias("l")
+        .join(cold.alias("r"), ["band", "sig"])
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
     )
+
+    # hot buckets: salted block-grid pairing. doc → salt block s of g;
+    # explode to the g (a,b)=(min(s,t),max(s,t)) block-pair groups it joins
+    # in; LEFT role in groups where s<=t, RIGHT where s>t. Every pair meets
+    # in exactly one group; per-group row count is bounded by ~2·cap.
+    hot = bands.join(F.broadcast(hot_keys), ["band", "sig"]).withColumn(
+        "g", F.ceil(F.col("bn") / F.lit(max_bucket)).cast("int")
+    ).withColumn("s", F.pmod(F.xxhash64("doc_id"), F.col("g")).cast("int"))
+    exp = hot.withColumn("t", F.explode(F.sequence(F.lit(0), F.col("g") - 1))).select(
+        "band",
+        "sig",
+        "doc_id",
+        F.least("s", "t").alias("a"),
+        F.greatest("s", "t").alias("b"),
+        (F.col("s") <= F.col("t")).alias("is_left"),
+    )
+    lhs = exp.filter(F.col("is_left") | (F.col("a") == F.col("b")))
+    rhs = exp.filter(~F.col("is_left") | (F.col("a") == F.col("b")))
+    # roles are fixed by salt, so the left-role doc may carry the LARGER id;
+    # order with least/greatest (an l<r filter here would silently drop the
+    # half of cross-block pairs whose left doc id is bigger)
+    cand_hot = (
+        lhs.alias("l")
+        .join(rhs.alias("r"), ["band", "sig", "a", "b"])
+        .filter(F.col("l.doc_id") != F.col("r.doc_id"))
+        .select(
+            F.least("l.doc_id", "r.doc_id").alias("doc_a"),
+            F.greatest("l.doc_id", "r.doc_id").alias("doc_b"),
+        )
+    )
+    cand = cand_cold.unionByName(cand_hot).distinct()
     # verify with exact Jaccard over distinct shingle-hash sets
     sh = profiles.select("doc_id", F.col("shh").alias("sh"))
     verified = (

@@ -375,6 +375,7 @@ def knn_join(
     res: int = KNN_RES_DEFAULT,
     ring: int = 1,
     max_ring: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """k nearest walkable centroids per image (J13).
 
@@ -386,22 +387,36 @@ def knn_join(
     candidate farther than ring·cell_side — the guaranteed-coverage radius)
     escalate to doubled rings until exact or max_ring is reached — the
     sparse-region fallback a 100× scale-up needs. Refine: distance +
-    row_number."""
+    row_number.
+
+    checkpoint_dir: when set, every level's resolved rows commit to an
+    Icelite stage table (per-partition lineage metrics + exact resume, the
+    north-rule checkpoint contract) and the RETURNED frame reads back from
+    it — a flat parquet-scan plan whose depth does not grow with escalation
+    levels, instead of a union tree of cached window/join plans. Without it
+    (ad-hoc local use) levels are cached and unioned in memory."""
     if max_ring is not None and max_ring > ring:
         from ..cells.grid import cell_side
 
         side = cell_side(res)
+        tbl = None
+        if checkpoint_dir is not None:
+            from ..tables.icelite import IceliteTable
+
+            tbl = IceliteTable(checkpoint_dir)
         out = None
         remaining = images
         r = ring
         while True:
             # materialize each level: the next level's anti-join must not
             # re-derive this level's whole candidate plan (recursive
-            # recompute blow-up); at scale this is a checkpoint to the
-            # shuffle service / Icelite stage table
+            # recompute blow-up)
             res_df = knn_join(remaining, centroids, k=k, res=res, ring=r).cache()
             if r >= max_ring:
-                out = res_df if out is None else out.unionByName(res_df)
+                if tbl is not None:
+                    tbl.commit(res_df, "rank", stage=f"knn-ring-{r}")
+                else:
+                    out = res_df if out is None else out.unionByName(res_df)
                 break
             proven = (
                 res_df.groupBy("image_id")
@@ -410,11 +425,19 @@ def knn_join(
                 .select("image_id")
             )
             resolved = res_df.join(proven, "image_id", "left_semi")
-            out = resolved if out is None else out.unionByName(resolved)
+            if tbl is not None:
+                tbl.commit(resolved, "rank", stage=f"knn-ring-{r}")
+            else:
+                out = resolved if out is None else out.unionByName(resolved)
             remaining = remaining.join(proven, "image_id", "left_anti").cache()
             if remaining.isEmpty():
                 break
             r = min(r * 4, max_ring)
+        if tbl is not None:
+            spark = images.sparkSession
+            return tbl.read(spark).select(
+                "image_id", "rank", "polygon_id", "nn_category", "nn_access", "dist"
+            )
         return out
 
     from pyspark.sql.functions import pandas_udf

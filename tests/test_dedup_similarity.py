@@ -104,6 +104,28 @@ def test_hot_shingle_cap_bounds_skew(spark):
     )
 
 
+def test_hot_lsh_bucket_salted_pairing(spark):
+    """Adversarial degenerate corpus: near-identical docs all hash to the
+    SAME (band, sig) bucket in every band — the d² single-task blowup the
+    max_bucket guard exists for. Unlike ngram's max_df (which drops hot keys
+    and changes semantics), the salted block-grid re-pairing must return the
+    IDENTICAL exact pair set as the plain self-join, just spread across
+    bounded groups."""
+    n = 60
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    # identical text → identical shingle sets → every bucket holds all n docs
+    rows = [(i, base) for i in range(n)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    plain = DD.minhash_lsh_pairs(docs, n=3, jaccard_threshold=0.5, max_bucket=n + 1).collect()
+    assert len(plain) == n * (n - 1) // 2  # all-pairs at jaccard 1.0
+
+    salted = DD.minhash_lsh_pairs(docs, n=3, jaccard_threshold=0.5, max_bucket=10).collect()
+    assert sorted((r.doc_a, r.doc_b, r.jaccard) for r in salted) == sorted(
+        (r.doc_a, r.doc_b, r.jaccard) for r in plain
+    )
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """IVF-flat (k-means lists + nprobe probing) recall@5 vs exact top-k."""
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")

@@ -144,6 +144,35 @@ def test_knn_ring_escalation_sparse(spark, layer_df, images_df):
             assert expected == got, (r.image_id, expected, got)
 
 
+def test_knn_escalation_checkpoint_flat_plan(spark, layer_df, images_df, tmp_path):
+    """3+ escalation levels with an Icelite checkpoint: same exact answer as
+    the in-memory union path, but the returned frame's plan is a flat
+    parquet scan — no Window/Join/Exchange nodes from earlier levels
+    (otherwise the union tree deepens with every level and the anti-join
+    chain recomputes at scale), plus per-level lineage in the stage table."""
+    cents_df = joins.walkable_centroids(layer_df)
+    k = 3
+    # res=12, ring=1 → escalation runs rings 1, 4, 16, 64 (4 levels)
+    plain = joins.knn_join(images_df, cents_df, k=k, res=12, ring=1, max_ring=64)
+    ckpt = joins.knn_join(
+        images_df, cents_df, k=k, res=12, ring=1, max_ring=64,
+        checkpoint_dir=str(tmp_path / "knn_ckpt"),
+    )
+    key = lambda r: (r.image_id, r.rank, int(r.polygon_id))
+    assert sorted(map(key, ckpt.collect())) == sorted(map(key, plain.collect()))
+
+    plan = ckpt._jdf.queryExecution().executedPlan().toString()
+    for node in ("Window", "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin", "Exchange"):
+        assert node not in plan, f"checkpointed kNN plan still contains {node}"
+
+    from osm_public_space_mapper_spark.tables.icelite import IceliteTable
+
+    lin = IceliteTable(str(tmp_path / "knn_ckpt")).lineage()
+    stages = {m["stage"] for m in lin}
+    assert len(stages) >= 3, stages  # one stage per escalation level
+    assert all(m["row_count"] > 0 for m in lin)
+
+
 def test_tiles_roundtrip_iou(spark, layer_df):
     tiles = tiling.rasterize_tiles(layer_df, tile_res=10, px=0.25)
     tile_rows = tiles.collect()

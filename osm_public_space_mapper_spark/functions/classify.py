@@ -97,48 +97,34 @@ def set_traffic_space_type(df: DataFrame) -> DataFrame:
 
 # --- road width estimation (analyse_traffic_area.py:94-161 + regional_defaults.py) ---
 
-HIGHWAY_DEFAULT_WIDTHS: dict[str, tuple[float, float]] = {
-    "service": (4.5, 3.6),
-    "residential": (4.5, 3.6),
-    "tertiary": (5.25, 3.8),
-    "primary": (6.5, 3.8),
-    "cycleway": (2, 1),
-    "secondary": (6.5, 3.8),
-    "motorway_link": (6.5, 3.8),
-    "platform": (1.5, 1),
-    "motorway": (6.5, 3.8),
-    "unclassified": (5.25, 3.8),
-    "primary_link": (6.5, 3.8),
-    "secondary_link": (6.5, 3.8),
-    "construction": (5.25, 3.8),
-    "everything else": (5.25, 3.6),
-}
-CYCLEWAY_DEFAULT_WIDTHS: dict[str, dict[str, float]] = {
-    "cycleway": {"lane": 1.5, "opposite": 0.5, "track": 1.5, "opposite_lane": 1, "opposite_track": 1.5},
-    "cycleway:right": {"lane": 1.5, "track": 1.5},
-    "cycleway:both": {"lane": 3.0, "track": 3.0},
-    "cycleway:left": {"lane": 1.5, "track": 1.5},
-}
-HIGHWAY_TYPES_WITH_PARKING = ["residential", "tertiary", "secondary", "primary"]
-DEFAULT_PARKING_WIDTH = 6.5
-PEDESTRIAN_WAY_DEFAULT_WIDTH = 1.8
-TRAM_WIDTH = 1.435 + 1.0
-TRAIN_WIDTH = 1.435 + 1.5
+from ..config import VIENNA, RegionalConfig  # noqa: E402  (regional width tables)
+
+# Back-compat aliases: the Vienna tables are also the reference's literal
+# constants; swap regions by passing a RegionalConfig, not by editing these.
+HIGHWAY_DEFAULT_WIDTHS = VIENNA.highway_default_widths
+CYCLEWAY_DEFAULT_WIDTHS = VIENNA.cycleway_default_widths
+HIGHWAY_TYPES_WITH_PARKING = list(VIENNA.highway_types_with_parking)
+DEFAULT_PARKING_WIDTH = VIENNA.default_parking_width
+PEDESTRIAN_WAY_DEFAULT_WIDTH = VIENNA.pedestrian_way_default_width
+TRAM_WIDTH = VIENNA.tram_width
+TRAIN_WIDTH = VIENNA.train_width
 
 
-def road_width() -> Column:
-    """Estimated road width expression. Implements the reference's *intended*
-    semantics (analyse_traffic_area.py:156-161 reads loop var `e` instead of
-    `element` — a latent bug; we read the element's own tags)."""
+def road_width(region: RegionalConfig | None = None) -> Column:
+    """Estimated road width expression under `region`'s width tables
+    (default: the reference's Vienna/RSV values). Implements the reference's
+    *intended* semantics (analyse_traffic_area.py:156-161 reads loop var `e`
+    instead of `element` — a latent bug; we read the element's own tags)."""
+    region = region or VIENNA
     uni = has("oneway")
     base = F.lit(None).cast("double")
     chain = None
-    for hwy, (bi_w, uni_w) in HIGHWAY_DEFAULT_WIDTHS.items():
+    for hwy, (bi_w, uni_w) in region.highway_default_widths.items():
         if hwy == "everything else":
             continue
         val = F.when(uni, F.lit(float(uni_w))).otherwise(F.lit(float(bi_w)))
         chain = F.when(tag("highway") == hwy, val) if chain is None else chain.when(tag("highway") == hwy, val)
-    bi_d, uni_d = HIGHWAY_DEFAULT_WIDTHS["everything else"]
+    bi_d, uni_d = region.highway_default_widths["everything else"]
     base = chain.otherwise(F.when(uni, F.lit(float(uni_d))).otherwise(F.lit(float(bi_d))))
 
     normal_lanes = F.when(uni, F.lit(1.0)).otherwise(F.lit(2.0))
@@ -149,7 +135,7 @@ def road_width() -> Column:
 
     # cycleway additions: skipped when highway value itself is a cycleway-keys member
     cyc_add = F.lit(0.0)
-    for key, vals in CYCLEWAY_DEFAULT_WIDTHS.items():
+    for key, vals in region.cycleway_default_widths.items():
         add_chain = None
         for v, wdt in vals.items():
             add_chain = (
@@ -159,11 +145,12 @@ def road_width() -> Column:
             )
         cyc_add = cyc_add + F.coalesce(add_chain, F.lit(0.0))
     width = F.when(
-        tag("highway").isin(list(CYCLEWAY_DEFAULT_WIDTHS.keys())), width
+        tag("highway").isin(list(region.cycleway_default_widths.keys())), width
     ).otherwise(width + cyc_add)
 
     width = F.when(
-        tag("highway").isin(HIGHWAY_TYPES_WITH_PARKING), width + F.lit(DEFAULT_PARKING_WIDTH)
+        tag("highway").isin(list(region.highway_types_with_parking)),
+        width + F.lit(region.default_parking_width),
     ).otherwise(width)
 
     return F.coalesce(
@@ -173,9 +160,9 @@ def road_width() -> Column:
     )
 
 
-def buffer_distance() -> Column:
+def buffer_distance(region: RegionalConfig | None = None) -> Column:
     """round(width/2, 1) — analyse_traffic_area.py:167."""
-    return F.round(road_width() / 2.0, 1)
+    return F.round(road_width(region) / 2.0, 1)
 
 
 def set_missing_space_types(df: DataFrame) -> DataFrame:

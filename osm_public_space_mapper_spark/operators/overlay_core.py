@@ -143,8 +143,11 @@ def run_overlay(
     rail = grid.empty()
     for r in by_role.get("rail", ()):
         rail |= _raster_record(grid, r)
-    # rail smoothing: buffer(+1, mitre).buffer(−1, mitre) → close with square
-    rail = close_open(rail, close_r=1.0 / px, open_r=0, shape="square")
+    # rail smoothing: buffer(+1, mitre).buffer(−1, mitre) → raster close.
+    # A disc SE measures r02/r03 closer to the mitre result than a square SE
+    # (square over-reaches r·√2 on Vienna's diagonal grid; mitre differs from
+    # round only at corner spikes the following open would trim anyway)
+    rail = close_open(rail, close_r=1.0 / px, open_r=0, shape="disc")
 
     ped_recs = by_role.get("pedestrian", [])
     ped_masks = [_raster_record(grid, r) for r in ped_recs]
@@ -218,11 +221,26 @@ def run_overlay(
     croppers = grid.empty()
     for m in ped_masks:
         croppers |= m
-    croppers |= dilate(buildings, PEDESTRIAN_WIDTH / px, "square") | platforms
+    # buildings buffered with MITRE joins from their VECTOR rings
+    # (reference buffer_list_of_elements(buildings, 1.8, join_style='mitre'),
+    # analyse_traffic_area.py:273). The r02 square-structuring-element dilate
+    # over-dilated every diagonal edge by up to (√2−1)·1.8 ≈ 0.75 m, cropping
+    # thin strips off adjacent roads — the dominant golden traffic-area gap.
+    from ..geo.offset import boundary_band_pieces, buffer_line_pieces, pieces_mask
+
+    bld_pieces: list[np.ndarray] = []
+    for r in by_role.get("building", ()):
+        if r.geom_kind in ("polygon", "multipolygon"):
+            for ring in r.parts:
+                bld_pieces.extend(boundary_band_pieces(ring, PEDESTRIAN_WIDTH, "mitre"))
+        elif r.geom_kind in ("linestring", "multilinestring"):
+            for path in r.parts:
+                bld_pieces.extend(buffer_line_pieces(path, PEDESTRIAN_WIDTH, "round", "mitre"))
+    croppers |= buildings | pieces_mask(grid, bld_pieces) | platforms
     croppers_smooth = close_open(croppers, 0.3 / px, 0, "disc")
     road_cropped = roads & ~croppers_smooth
     first_r = (PEDESTRIAN_WIDTH / 2 + 0.2) / px
-    road_final = close_open(road_cropped, first_r, 0, "square")
+    road_final = close_open(road_cropped, first_r, 0, "disc")
     road_final = close_open(road_final, 0.3 / px, 0, "disc")
 
     # --- assemble (category, access) masks [A1 merge] ------------------------

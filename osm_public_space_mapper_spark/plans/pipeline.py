@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..cells.grid import cell_bbox as cell_bbox_np
+from ..config import VIENNA, RegionalConfig
 from ..functions import classify
 from ..functions import predicates as P
 from ..functions.geometry import GEOM_TYPE, cells_covering_bbox_udf, st_bbox
@@ -62,11 +63,13 @@ def _assume_access_col():
     )
 
 
-def build_overlay_records(stages: dict[str, DataFrame]) -> DataFrame:
+def build_overlay_records(stages: dict[str, DataFrame], region: RegionalConfig | None = None) -> DataFrame:
     """Emit the kernel input rows: one record per (role, element).
 
     Roles: element | building | road | rail | pedestrian | platform | passage
-           | barrier_inacc  (see overlay_core docstring)."""
+           | barrier_inacc  (see overlay_core docstring). `region` supplies
+    the street/rail/pedestrian width tables (default Vienna/RSV)."""
+    region = region or VIENNA
     dataset = stages["dataset"]
     buildings = stages["buildings"]
 
@@ -81,7 +84,7 @@ def build_overlay_records(stages: dict[str, DataFrame]) -> DataFrame:
         F.lit("road").alias("role"),
         F.lit("road").alias("space_category"),
         F.lit(None).cast("string").alias("assumed_access"),
-        F.when(P.is_linestring(), F.round(classify.road_width() / 2.0, 1) * 2.0).otherwise(F.lit(0.0)).alias("buf_width"),
+        F.when(P.is_linestring(), F.round(classify.road_width(region) / 2.0, 1) * 2.0).otherwise(F.lit(0.0)).alias("buf_width"),
         F.lit("square").alias("cap_style"),
     )
     rails = dataset.filter(is_rail_t & (P.is_linestring() | P.is_poly_like())).select(
@@ -92,8 +95,8 @@ def build_overlay_records(stages: dict[str, DataFrame]) -> DataFrame:
         F.when(
             P.is_linestring(),
             F.round(
-                F.when(P.teq("railway", "tram"), F.lit(classify.TRAM_WIDTH / 2.0))
-                .otherwise(F.lit(classify.TRAIN_WIDTH / 2.0)),
+                F.when(P.teq("railway", "tram"), F.lit(region.tram_width / 2.0))
+                .otherwise(F.lit(region.train_width / 2.0)),
                 1,
             )
             * 2.0,
@@ -107,8 +110,8 @@ def build_overlay_records(stages: dict[str, DataFrame]) -> DataFrame:
         F.lit("yes").alias("assumed_access"),  # 'walking area' ∈ SPACE_TYPES_WITH_ACCESS
         F.when(
             P.is_linestring(),
-            F.when(P.teq("highway", "living_street"), F.lit(2.0 * classify.PEDESTRIAN_WAY_DEFAULT_WIDTH))
-            .otherwise(F.lit(classify.PEDESTRIAN_WAY_DEFAULT_WIDTH)),
+            F.when(P.teq("highway", "living_street"), F.lit(2.0 * region.pedestrian_way_default_width))
+            .otherwise(F.lit(region.pedestrian_way_default_width)),
         ).otherwise(F.lit(0.0)).alias("buf_width"),
         F.lit("square").alias("cap_style"),
     )
@@ -237,9 +240,14 @@ def overlay_stage(records: DataFrame, cfg: OverlayConfig, overlay_res: int = OVE
     return recs.groupBy("overlay_cell").applyInPandas(_run, _OVERLAY_OUT)
 
 
-def run_pipeline(elements: DataFrame, cfg: OverlayConfig, overlay_res: int = OVERLAY_RES_DEFAULT) -> DataFrame:
+def run_pipeline(
+    elements: DataFrame,
+    cfg: OverlayConfig,
+    overlay_res: int = OVERLAY_RES_DEFAULT,
+    region: RegionalConfig | None = None,
+) -> DataFrame:
     """elements (raw 4326) → public-space polygon layer
     (overlay_cell, space_category, access, geom, area)."""
     stages = classify_stage(elements)
-    records = build_overlay_records(stages)
+    records = build_overlay_records(stages, region=region)
     return overlay_stage(records, cfg, overlay_res)

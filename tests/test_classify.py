@@ -175,6 +175,80 @@ def test_road_width_matches_oracle(spark):
     assert len(widths) >= 8
 
 
+def test_road_width_under_second_region(spark):
+    """The regional config surface (reference regional_defaults.py:6-55):
+    swapping the street-width table must shift estimated widths exactly, with
+    no operator edits. A doubled-residential region widens residential rows
+    by the bi/uni delta (scaled by any lanes factor) and leaves others
+    untouched; explicit width tags still win."""
+    from osm_public_space_mapper_spark.config import VIENNA
+
+    region2 = VIENNA.with_highway_widths({"residential": (9.0, 7.2)})
+    assert VIENNA.highway_default_widths["residential"] == (4.5, 3.6)  # default untouched
+
+    df = elements_to_spark(spark)
+    df = clean.clean_chain(df)
+    rest, _ = clean.get_and_drop_buildings(df)
+    rest = classify.interpret_tags(rest)
+    rest = classify.set_traffic_space_type(rest)
+    roads = rest.filter(F.col("space_type") == "road")
+    both = roads.select(
+        "element_id",
+        "tags",
+        classify.road_width().alias("w_vienna"),
+        classify.road_width(region2).alias("w_region2"),
+    ).collect()
+    assert len(both) >= 8
+    n_res = 0
+    for r in both:
+        tags = r.tags or {}
+        if "width" in tags or "width:carriageway" in tags:
+            assert r.w_region2 == r.w_vienna  # explicit tag wins in any region
+        elif tags.get("highway") == "residential":
+            n_res += 1
+            uni = "oneway" in tags
+            base_v, base_2 = (3.6, 7.2) if uni else (4.5, 9.0)
+            lanes = tags.get("lanes")
+            factor = float(lanes) / (1.0 if uni else 2.0) if lanes else 1.0
+            if lanes and factor == 1.0:
+                factor = 1.0
+            assert abs((r.w_region2 - r.w_vienna) - (base_2 - base_v) * factor) < 1e-9, (
+                r.element_id, tags, r.w_vienna, r.w_region2
+            )
+        else:
+            assert r.w_region2 == r.w_vienna, (r.element_id, tags)
+    assert n_res >= 1  # fixture actually exercises the overridden type
+
+
+def test_pipeline_road_area_shifts_with_region(spark):
+    """End-to-end: the full classify→overlay pipeline under a wider street
+    table must grow the traffic-area layer (and its share of the fixed bbox)
+    — the width knob reaches the raster buffer kernel."""
+    from osm_public_space_mapper_spark.config import VIENNA
+    from osm_public_space_mapper_spark.fixtures.elements import BBOX_4326, elements_to_spark as _els
+    from osm_public_space_mapper_spark.operators.overlay_core import OverlayConfig
+    from osm_public_space_mapper_spark.plans.pipeline import projected_bbox_ring, run_pipeline
+
+    ring = projected_bbox_ring(
+        BBOX_4326["left"], BBOX_4326["bottom"], BBOX_4326["right"], BBOX_4326["top"]
+    )
+    env = (float(ring[:, 0].min()), float(ring[:, 1].min()),
+           float(ring[:, 0].max()), float(ring[:, 1].max()))
+    cfg = OverlayConfig(px=0.5, margin=64.0, bbox=env, bbox_ring=ring)
+
+    def traffic_area(region):
+        layer = run_pipeline(_els(spark), cfg, overlay_res=8, region=region)
+        rows = layer.filter(F.col("space_category") == "traffic area").collect()
+        return sum(r.area for r in rows)
+
+    base = traffic_area(None)  # Vienna default
+    wide = traffic_area(VIENNA.with_highway_widths({
+        "residential": (9.0, 7.2), "primary": (13.0, 7.6), "everything else": (10.5, 7.2),
+    }))
+    assert base > 0
+    assert wide > base * 1.2, (base, wide)  # doubled widths → clearly larger traffic layer
+
+
 def test_clean_chain_metrics(spark):
     from osm_public_space_mapper_spark.operators.clean import clean_chain_with_metrics
 

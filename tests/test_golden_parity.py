@@ -7,11 +7,10 @@ end-to-end with the README bbox).
 
 Asserts:
   - the (space_category, access) inventory is EXACTLY the golden 10 pairs
-  - per-pair area within tolerance (raster buffers vs shapely round caps
-    cost a little on the smoothed traffic layer; measured r02: 8/10 pairs
-    within 0.2%, traffic area 2.7%)
-  - per-pair spatial IoU ≥ 0.85 on a shared 0.5 m lattice (measured r02:
-    0.88-0.99)
+  - per-pair area ≤ 1% (r03, after the vector mitre building-cropper bands
+    from geo/offset.py; 1.5% on ('undefined space','no') — one diagnosed
+    ~53 m² courtyard, see test_golden_area_parity)
+  - per-pair spatial IoU ≥ 0.92 on an off-lattice 0.5 m grid
   - total covered area equals the golden total (bbox completeness)
 """
 
@@ -105,7 +104,12 @@ def test_golden_area_parity(layer_rows):
         gold[k] += sum((1 if is_ext else -1) * abs(ring_signed_area(rg)) for is_ext, rg in rings)
     for k, ga in gold.items():
         ratio = eng[k] / ga
-        tol = 0.05 if k[0] in ("traffic area", "undefined space") else 0.03
+        # r03 (vector mitre cropper bands + disc closes): 9/10 pairs ≤ 1%.
+        # ('undefined space','no') sits at −1.25%: one ~53 m² courtyard where
+        # the reference's inaccessible-enclosed-area polygon survives over a
+        # service road (vector J7 crop + J9 enclosed-clips-road interplay at
+        # sub-pixel scale); every other pair is ≤ 1%.
+        tol = 0.015 if k == ("undefined space", "no") else 0.01
         assert abs(ratio - 1) < tol, (k, eng[k], ga, ratio)
     total_e, total_g = sum(eng.values()), sum(gold.values())
     assert abs(total_e - total_g) / total_g < 0.001
@@ -114,8 +118,16 @@ def test_golden_area_parity(layer_rows):
 def test_golden_spatial_iou(layer_rows):
     rows, env = layer_rows
     px = 0.5
-    grid = Grid.from_bbox(np.floor(env[0] / px) * px, np.floor(env[1] / px) * px,
-                          np.ceil(env[2] / px) * px, np.ceil(env[3] / px) * px, px)
+    # OFF-LATTICE comparison grid: the engine's output rings lie on the
+    # pipeline's 0.25 m pixel lattice, so a grid whose pixel centers also sit
+    # on that lattice hits the inclusive boundary rule on every engine edge —
+    # a systematic one-sided "fat film" (measured ~0.03-0.09 IoU penalty)
+    # that the golden shapely rings (arbitrary coordinates) never pay. A
+    # 0.13 m origin shift keeps centers off both engines' special points,
+    # making the IoU estimator unbiased; tolerance is TIGHTENED 0.85 → 0.92.
+    shift = 0.13
+    grid = Grid.from_bbox(np.floor(env[0] / px) * px + shift, np.floor(env[1] / px) * px + shift,
+                          np.ceil(env[2] / px) * px + shift, np.ceil(env[3] / px) * px + shift, px)
     eng_m: dict = {}
     for r in rows:
         m = eng_m.setdefault((r.space_category, r.access), grid.empty())
@@ -128,4 +140,4 @@ def test_golden_spatial_iou(layer_rows):
         inter = (eng_m[k] & gold_m[k]).sum()
         union = (eng_m[k] | gold_m[k]).sum()
         iou = inter / union
-        assert iou >= 0.85, (k, iou)
+        assert iou >= 0.92, (k, iou)

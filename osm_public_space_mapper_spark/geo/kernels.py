@@ -74,6 +74,20 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -
     n, e = len(px), len(p0)
     if e == 0 or n == 0:
         return np.zeros(n, dtype=bool)
+    # EXACT edge pruning against the query-point window: the +x crossing ray
+    # of a point with qy ∈ [ymin, ymax] can only hit edges whose y-range
+    # straddles that band and whose x-max lies right of the leftmost point.
+    # Big polygons fan out to every covering cell with their FULL ring
+    # (operators/joins.py explode), so per-cell PIP otherwise pays O(points ×
+    # total-ring-edges) — this cuts it to the edges in the cell's y-band.
+    ymin, ymax, xmin = py.min(), py.max(), px.min()
+    eymin = np.minimum(p0[:, 1], p1[:, 1])
+    eymax = np.maximum(p0[:, 1], p1[:, 1])
+    keep = (eymin <= ymax) & (eymax > ymin) & (np.maximum(p0[:, 0], p1[:, 0]) > xmin)
+    p0, p1 = p0[keep], p1[keep]
+    e = len(p0)
+    if e == 0:
+        return np.zeros(n, dtype=bool)
     inside = np.zeros(n, dtype=bool)
     step = max(1, _CHUNK // max(e, 1))
     for s in range(0, n, step):
@@ -185,3 +199,46 @@ def geoms_intersect(parts_a: list[np.ndarray], kind_a: str, parts_b: list[np.nda
     if kind_b in point_kinds and len(ea0):
         return bool((point_segment_dist(vb[:, 0], vb[:, 1], ea0, ea1) < 1e-9).any())
     return False
+
+
+def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Cyclic Douglas-Peucker: drop vertices whose removal moves the boundary
+    by < tol. Raster staircases from curved (disc-close) boundaries survive
+    vectorize_mask's exact collinear collapse but carry no information beyond
+    the pixel lattice — at tol < px/2 this collapses them to sparse chains
+    (measured ~2-4× fewer layer vertices) without moving the boundary more
+    than sub-pixel. Areas are NOT computed from rings (mask_area is the
+    source of truth), so simplification only affects payload size and
+    downstream vector-kernel cost."""
+    ring = np.asarray(ring, dtype=np.float64)
+    n = len(ring)
+    if n <= 4 or tol <= 0:
+        return ring
+    # anchors: vertex 0 and the farthest vertex from it (cycle split)
+    k = int(((ring - ring[0]) ** 2).sum(axis=1).argmax())
+    if k == 0:
+        return ring
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[k] = True
+    # iterative DP over index ranges of the (possibly wrapped) sequence
+    idx = np.arange(n)
+    stack = [(idx[0 : k + 1],), (np.concatenate([idx[k:], idx[:1]]),)]
+    while stack:
+        (seg,) = stack.pop()
+        if len(seg) <= 2:
+            continue
+        a, b = ring[seg[0]], ring[seg[-1]]
+        mid = ring[seg[1:-1]]
+        ab = b - a
+        L = np.hypot(ab[0], ab[1])
+        if L < 1e-12:
+            d = np.hypot(mid[:, 0] - a[0], mid[:, 1] - a[1])
+        else:
+            d = np.abs((mid[:, 0] - a[0]) * ab[1] - (mid[:, 1] - a[1]) * ab[0]) / L
+        j = int(d.argmax())
+        if d[j] > tol:
+            keep[seg[j + 1]] = True
+            stack.append((seg[: j + 2],))
+            stack.append((seg[j + 1 :],))
+    out = ring[keep]
+    return out if len(out) >= 3 else ring

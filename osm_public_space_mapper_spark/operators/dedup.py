@@ -165,8 +165,22 @@ def minhash_lsh_pairs(
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
+    bands = bands.cache()
     sizes = bands.groupBy("band", "sig").agg(F.count("*").alias("bn"))
     hot_keys = sizes.filter(F.col("bn") > max_bucket)
+    # short-circuit the common case: no hot bucket → plain self-join, none
+    # of the guard's extra stages (anti-join, salt explode, union) in the
+    # plan. hot_keys is a tiny aggregate over the cached bands, so this
+    # driver-side probe costs one small job, not a second table scan.
+    if hot_keys.isEmpty():
+        cand = (
+            bands.alias("l")
+            .join(bands.alias("r"), ["band", "sig"])
+            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        return _verify_pairs(profiles, cand, jaccard_threshold)
     cold = bands.join(F.broadcast(hot_keys.select("band", "sig")), ["band", "sig"], "left_anti")
     cand_cold = (
         cold.alias("l")
@@ -205,9 +219,13 @@ def minhash_lsh_pairs(
         )
     )
     cand = cand_cold.unionByName(cand_hot).distinct()
-    # verify with exact Jaccard over distinct shingle-hash sets
+    return _verify_pairs(profiles, cand, jaccard_threshold)
+
+
+def _verify_pairs(profiles: DataFrame, cand: DataFrame, jaccard_threshold: float) -> DataFrame:
+    """Exact Jaccard verify over distinct shingle-hash sets."""
     sh = profiles.select("doc_id", F.col("shh").alias("sh"))
-    verified = (
+    return (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -216,7 +234,6 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return verified
 
 
 def ngram_jaccard_pairs(
@@ -323,7 +340,13 @@ def embedding_dups(
     bytes/maxPartitionBytes, so blocks track data volume at write-time row
     sizes without an extra pass over the table."""
     if n_blocks is None:
-        n_blocks = max(1, embeddings.rdd.getNumPartitions())
+        # scan partitions track data volume (bytes/maxPartitionBytes) but a
+        # small table reads as ONE partition — floor at the session's core
+        # count so every core gets block-pair groups to score
+        n_blocks = max(
+            embeddings.rdd.getNumPartitions(),
+            embeddings.sparkSession.sparkContext.defaultParallelism,
+        )
     nb = n_blocks
     spark = embeddings.sparkSession
     e = embeddings.select("vec_id", "embedding").withColumn(

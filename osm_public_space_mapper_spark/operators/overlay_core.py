@@ -34,7 +34,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..geo.kernels import ring_signed_area
+from ..geo.kernels import ring_signed_area, simplify_ring
 from ..geo.raster import (
     Grid,
     close_open,
@@ -363,6 +363,13 @@ def run_overlay(
     total_area = 0.0
     for (c, a), m in sorted(final.items()):
         polys = vectorize_mask(grid, m)
+        # NO lossy ring simplification here: neighboring categories share
+        # boundary chains, and per-ring DP would move the two sides
+        # independently — breaking the layer's partition-of-space invariant
+        # (overlaps/gaps at category seams). vectorize_mask's exact collinear
+        # collapse is the only safe reduction; vector kernels downstream
+        # prune edges per cell window instead (geo/kernels.py
+        # points_in_polygon edge filter).
         rings = [ring for poly in polys for ring in poly]
         area = mask_area(m, px)
         total_area += area

@@ -761,18 +761,50 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash64(_t(spark, sf_dir, "documents"), bits=32)
 
 
-def _simhash_sql_duck(bits: int = 32) -> str:
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hamming near-dup pairs (exact for hamming ≤ n_bands−1)."""
+    return DD.simhash_hamming_pairs(
+        _t(spark, sf_dir, "documents"), bits=32, max_hamming=3, n_bands=4
+    )
+
+
+def _simhash_duck_ctes(bits: int = 32) -> str:
     votes = ", ".join(
         f"SUM(CASE WHEN (h & {1 << b}) > 0 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
     )
     recon = " + ".join(f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(bits))
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, unnest(list_distinct(string_split({_NORM}, ' '))) AS tok FROM documents
 ),
 hashed AS (SELECT doc_id, {_HASH64_DUCK.format(x='tok')} AS h FROM toks),
-votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
-SELECT doc_id, {recon} AS simhash FROM votes
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+sh AS (SELECT doc_id, {recon} AS simhash FROM votes)"""
+
+
+def _simhash_sql_duck(bits: int = 32) -> str:
+    return f"WITH {_simhash_duck_ctes(bits)}\nSELECT doc_id, simhash FROM sh"
+
+
+def _simhash_pairs_sql_duck(bits: int = 32, max_hamming: int = 3, n_bands: int = 4) -> str:
+    """Mirror of dedup.simhash_hamming_pairs: band equi-join candidates
+    (pigeonhole-exact for hamming < n_bands) + bit_count verify."""
+    bw = bits // n_bands
+    mask = (1 << bw) - 1
+    return f"""
+WITH {_simhash_duck_ctes(bits)},
+bands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * {bw})) & {mask} AS key
+  FROM sh, (SELECT unnest(range({n_bands})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.simhash AS sa, r.simhash AS sb
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+  WHERE l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
@@ -955,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_sig,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
+        "simhash_hamming_pairs": _q_simhash_pairs,
         "embedding_dups": _q_emb_dups,
         "embedding_topk": _q_emb_topk,
         "ann_lsh_topk": _q_emb_ann,
@@ -991,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_sql_duck(3),
         "minhash_lsh_pairs": _minhash_pairs_sql_duck(3, 0.5),
         "simhash": _simhash_sql_duck(32),
+        "simhash_hamming_pairs": _simhash_pairs_sql_duck(32, 3, 4),
         "embedding_dups": _EMB_DUPS_DUCK,
         "embedding_topk": _TOPK_DUCK,
         "ann_lsh_topk": _ann_sql_duck(),

@@ -150,3 +150,59 @@ def cells_covering_bbox_udf(res: int, halo: int = 0):
         return pd.Series(out, index=xmin.index)
 
     return _cover
+
+
+def st_buffer_udf(dist: float, cap_style: str = "round", join_style: str = "round",
+                  px: float | None = None):
+    """geom (+ geom_kind) → buffered polygon geometry, the column-level
+    buffer op (reference utils/helpers.py:6-22 buffer_list_of_elements and
+    every e.geom.buffer(...) site; SURVEY §2.4/§2.8 st_buffer).
+
+    Built on the geo/offset.py vector band kernel: line buffers are the
+    union of edge rectangles + joint wedges + caps; polygon buffers are the
+    filled mask ∪/∖ the boundary band (negative dist erodes). The convex
+    pieces are composited on an adaptive local raster (px defaults to
+    max(extent/1024, |dist|/8)) and vectorized back to rings — the engine's
+    raster↔vector bridge, bounded per geometry, no shared state.
+    """
+    from ..geo.offset import boundary_band_pieces, buffer_line_pieces, pieces_mask
+    from ..geo.raster import Grid, rasterize_polygon, vectorize_mask
+
+    half = abs(float(dist))
+
+    @pandas_udf(GEOM_TYPE)
+    def _buf(geom: pd.Series, kind: pd.Series) -> pd.Series:
+        out = []
+        for parts, k in zip(geom, kind):
+            part_list = [] if parts is None else list(parts)
+            rings = [
+                np.stack([np.asarray(q, dtype=np.float64) for q in p])
+                for p in part_list
+                if len(p) >= 2
+            ]
+            if not rings or half == 0.0:
+                out.append([[list(map(float, q)) for q in p] for p in part_list])
+                continue
+            allc = np.concatenate(rings)
+            xmin, ymin = allc.min(axis=0) - 2 * half - 1
+            xmax, ymax = allc.max(axis=0) + 2 * half + 1
+            res = px if px is not None else max((max(xmax - xmin, ymax - ymin)) / 1024.0, half / 8.0)
+            grid = Grid.from_bbox(xmin, ymin, xmax, ymax, res)
+            is_line = k in ("linestring", "multilinestring")
+            if is_line:
+                pieces = []
+                for r in rings:
+                    pieces.extend(buffer_line_pieces(r, half, cap_style, join_style))
+                mask = pieces_mask(grid, pieces)
+            else:
+                mask = rasterize_polygon(grid, rings)
+                pieces = []
+                for r in rings:
+                    pieces.extend(boundary_band_pieces(r, half, join_style))
+                band = pieces_mask(grid, pieces)
+                mask = (mask | band) if dist > 0 else (mask & ~band)
+            polys = vectorize_mask(grid, mask)
+            out.append([ring.tolist() for poly in polys for ring in poly])
+        return pd.Series(out, index=geom.index)
+
+    return _buf

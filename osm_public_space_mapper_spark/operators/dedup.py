@@ -447,3 +447,54 @@ def embedding_dups_lsh(
         .filter(F.col("cosine") >= threshold)
     )
     return cand
+
+
+def simhash_hamming_pairs(
+    documents: DataFrame, bits: int = 32, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
+
+    Banded exact search: the `bits`-bit fingerprint splits into `n_bands`
+    contiguous bands; a pair within hamming h < n_bands must agree on at
+    least one whole band (pigeonhole), so a band-value equi-join finds ALL
+    qualifying pairs with max_hamming = n_bands − 1 — no cross join, no
+    recall loss. Verification is one xor + bit_count. Same plan family as
+    minhash_lsh_pairs: candidates from an equi-join, cheap exact verify."""
+    if max_hamming >= n_bands:
+        raise ValueError("exactness requires max_hamming < n_bands (pigeonhole)")
+    band_width = bits // n_bands
+    mask = (1 << band_width) - 1
+    sh = simhash64(documents, bits)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    pairs = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "key"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    return pairs

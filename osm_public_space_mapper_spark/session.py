@@ -25,7 +25,10 @@ def get_spark(app: str = "osm-public-space-mapper-spark", cores: int | str = "*"
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # 16g: the 96M-image scaling bench at local[32] sits near the GC
+        # ceiling at 8g (GCLocker retry warnings, occasional task OOM) —
+        # Arrow JNI allocation under 32 concurrent cogroup tasks
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")

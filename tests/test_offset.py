@@ -145,3 +145,35 @@ def test_vector_line_join_styles_nested():
     assert not (bevel & ~mitre).any()  # bevel ⊆ mitre
     assert not (bevel & ~rnd).any()    # bevel ⊆ round
     assert mitre.sum() >= rnd.sum()    # mitre covers the arc + spike
+
+
+def test_st_buffer_udf_line_and_polygon(spark):
+    """Column-level st_buffer: line square-cap buffer area ≈ analytic;
+    polygon positive/negative buffers grow/shrink by the band."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osm_public_space_mapper_spark.functions.geometry import st_area, st_buffer_udf
+
+    line = [[[5.0, 20.0], [25.0, 20.0]]]                       # 20 m segment
+    square = [[[10.0, 10.0], [30.0, 10.0], [30.0, 30.0], [10.0, 30.0]]]
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "gid": [1, 2],
+            "geom_kind": ["linestring", "polygon"],
+            "geom": [line, square],
+        })
+    )
+    buf = st_buffer_udf(2.0, cap_style="square", join_style="mitre", px=0.1)
+    out = df.withColumn("bgeom", buf(F.col("geom"), F.col("geom_kind"))).withColumn(
+        "barea", st_area(F.col("bgeom"))
+    ).collect()
+    areas = {r.gid: r.barea for r in out}
+    assert abs(areas[1] - 24 * 4) < 2.0            # (20+2+2) × 4 square caps
+    assert abs(areas[2] - 24 * 24) < 3.0           # mitre dilation of square
+
+    neg = st_buffer_udf(-3.0, join_style="mitre", px=0.1)
+    out2 = df.filter(F.col("gid") == 2).withColumn(
+        "bgeom", neg(F.col("geom"), F.col("geom_kind"))
+    ).withColumn("barea", st_area(F.col("bgeom"))).collect()
+    assert abs(out2[0].barea - 14 * 14) < 3.0      # erosion by 3

@@ -117,3 +117,63 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
         for r in E.queries()["events_sessionization"](spark, "/root/testdata/sf0.01").collect()
     }
     assert got == batch
+
+
+def test_stream_dedup_drops_duplicates(spark, tmp_path):
+    """Watermarked streaming dedup: duplicate uploads (same content key)
+    within the horizon collapse to one row; distinct rows all survive."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osm_public_space_mapper_spark.streaming.dedup import (
+        exact_stream_dedup,
+        windowed_unique_counts,
+    )
+
+    n = 200
+    pdf = generate_images(n, seed=21, with_pixels=False).drop(columns=["bytes"])
+    # duplicate the first half (fresh image_ids, same content) and stamp
+    # event times inside one watermark horizon
+    dup = pdf.iloc[: n // 2].copy()
+    dup["image_id"] = dup["image_id"] + "-dup"
+    both = pd.concat([pdf, dup], ignore_index=True)
+    both["ts"] = pd.to_datetime("2026-01-01 10:00:00") + pd.to_timedelta(
+        (both.index % 300), unit="s"
+    )
+    schema = _SCHEMA.add("ts", "timestamp")
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(both, schema).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = exact_stream_dedup(stream, watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "ckd"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM dedup_stream").collect()
+    assert len(rows) == n  # n + n/2 in, duplicates collapsed
+    keys = [r.content_key for r in rows]
+    assert len(set(keys)) == n
+
+    # duplicate-rate monitoring agg matches batch distinct counts per window
+    stream2 = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    mon = windowed_unique_counts(stream2, window="5 minutes", watermark="30 minutes")
+    q2 = (
+        mon.writeStream.format("memory").queryName("dedup_mon")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "ckm"))
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(180)
+    got = {r.window_start: r.n_rows for r in spark.sql("SELECT * FROM dedup_mon").collect()}
+    batch = {
+        r.ws: r.n
+        for r in spark.read.parquet(src)
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+        .collect()
+    }
+    for k, v in got.items():
+        assert batch[k] == v

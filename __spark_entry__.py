@@ -758,21 +758,34 @@ def _q_emb_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.simhash64(_t(spark, sf_dir, "documents"), bits=32)
+    return DD.simhash64(_t(spark, sf_dir, "documents"), bits=64)
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded hamming near-dup pairs (exact for hamming ≤ n_bands−1)."""
+    """Banded hamming near-dup pairs (exact for hamming ≤ n_bands−1).
+
+    r04: 64-bit fingerprints / 16-bit band keys — the scale-safe regime
+    (65 536 buckets per band instead of the r03 256), guarded by the same
+    salted hot-bucket block grid as minhash_lsh_pairs."""
     return DD.simhash_hamming_pairs(
-        _t(spark, sf_dir, "documents"), bits=32, max_hamming=3, n_bands=4
+        _t(spark, sf_dir, "documents"), bits=64, max_hamming=3, n_bands=4
     )
 
 
-def _simhash_duck_ctes(bits: int = 32) -> str:
+def _simhash_duck_ctes(bits: int = 64) -> str:
+    # bit 63: the vote mask 2^63 hugeint-promotes (h sign-extends, so the
+    # AND still isolates the 64-bit sign bit), and the reconstruction term
+    # must be the two's-complement −2^63 — CAST(2^63 AS BIGINT) overflows.
+    # Terms are emitted in ascending-bit order, so partial sums of the
+    # reconstruction stay within BIGINT (≤ 2^63−1 before the final negative
+    # bit-63 term) — mirrors dedup._bit_mask_lit.
     votes = ", ".join(
         f"SUM(CASE WHEN (h & {1 << b}) > 0 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
     )
-    recon = " + ".join(f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(bits))
+    recon = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({(1 << b) if b < 63 else -(1 << 63)} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
     return f"""toks AS (
   SELECT doc_id, unnest(list_distinct(string_split({_NORM}, ' '))) AS tok FROM documents
 ),
@@ -781,11 +794,11 @@ votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
 sh AS (SELECT doc_id, {recon} AS simhash FROM votes)"""
 
 
-def _simhash_sql_duck(bits: int = 32) -> str:
+def _simhash_sql_duck(bits: int = 64) -> str:
     return f"WITH {_simhash_duck_ctes(bits)}\nSELECT doc_id, simhash FROM sh"
 
 
-def _simhash_pairs_sql_duck(bits: int = 32, max_hamming: int = 3, n_bands: int = 4) -> str:
+def _simhash_pairs_sql_duck(bits: int = 64, max_hamming: int = 3, n_bands: int = 4) -> str:
     """Mirror of dedup.simhash_hamming_pairs: band equi-join candidates
     (pigeonhole-exact for hamming < n_bands) + bit_count verify."""
     bw = bits // n_bands
@@ -1023,8 +1036,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _jaccard_sql_duck(3, 0.3),
         "minhash_signatures": _minhash_sql_duck(3),
         "minhash_lsh_pairs": _minhash_pairs_sql_duck(3, 0.5),
-        "simhash": _simhash_sql_duck(32),
-        "simhash_hamming_pairs": _simhash_pairs_sql_duck(32, 3, 4),
+        "simhash": _simhash_sql_duck(64),
+        "simhash_hamming_pairs": _simhash_pairs_sql_duck(64, 3, 4),
         "embedding_dups": _EMB_DUPS_DUCK,
         "embedding_topk": _TOPK_DUCK,
         "ann_lsh_topk": _ann_sql_duck(),

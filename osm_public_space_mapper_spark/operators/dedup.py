@@ -18,7 +18,7 @@ reproduce them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, hash64, shingles
@@ -120,6 +120,79 @@ def doc_minhashes(documents: DataFrame, n: int = 3) -> DataFrame:
     return doc_shingle_profiles(documents, n).select("doc_id", "minhashes")
 
 
+def _salted_blocks(bands: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """The salted/exploded side of `salted_band_pairs` — split out so tests
+    can assert the per-(keys, blk_a, blk_b) join-group sizes stay bounded on
+    a degenerate corpus. Adds bn (bucket size via window count — the same
+    shuffle the self-join needs, no probe job), g salt blocks, s = the doc's
+    block, t = the exploded partner block, and the group key
+    (blk_a, blk_b) = (min(s,t), max(s,t))."""
+    w = Window.partitionBy(*keys)
+    return (
+        bands.withColumn("bn", F.count("*").over(w))
+        .withColumn(
+            "g",
+            F.greatest(F.lit(1), F.ceil(F.col("bn") / F.lit(max_bucket))).cast("int"),
+        )
+        .withColumn("s", F.pmod(F.xxhash64("doc_id"), F.col("g")).cast("int"))
+        .withColumn("t", F.explode(F.sequence(F.lit(0), F.col("g") - 1)))
+        .withColumn("blk_a", F.least("s", "t"))
+        .withColumn("blk_b", F.greatest("s", "t"))
+    )
+
+
+def salted_band_pairs(
+    bands: DataFrame,
+    keys: list[str],
+    payload: list[str],
+    max_bucket: int,
+) -> DataFrame:
+    """Exact unordered within-bucket pairs with a DECLARATIVE hot-bucket
+    guard — one plan, zero driver-side actions.
+
+    `bands` holds one row per (doc_id, *keys) bucket membership plus
+    `payload` columns to carry onto the pair rows. Every bucket's pair set
+    comes out exactly once per (keys) bucket, but no task ever self-joins
+    more than ~2·max_bucket rows:
+
+    - a window count over `keys` gives the bucket size bn (same shuffle the
+      self-join needs anyway — no probe job, no broadcast of hot keys);
+    - g = max(1, ceil(bn/max_bucket)) salt blocks; each doc lands in block
+      s = hash(doc_id) mod g and is exploded to the g block-pair groups
+      (a, b) = (min(s,t), max(s,t)) it participates in;
+    - the self-join key is keys + (a, b). Diagonal groups (a == b) pair by
+      doc_id < doc_id; off-diagonal groups pair the block-a role
+      (s <= t) against the block-b role (s > t) — roles are salt-fixed, so
+      ids are ordered with least/greatest afterwards (an l<r filter here
+      would drop the cross-block pairs whose left id is larger).
+
+    g = 1 (every bucket under the cap — the common case) degenerates to the
+    plain bucket self-join: one diagonal group per bucket, no row
+    duplication, and the whole guard costs only the window count. Both join
+    sides are the SAME subplan, so Spark reuses the shuffle exchange
+    (ReusedExchange) — upstream work (e.g. a mapInPandas signature kernel)
+    executes once, not twice.
+
+    Returns (doc_a, doc_b, <p>_a, <p>_b ...) with doc_a < doc_b and payload
+    aligned to the ordered ids; a pair appears once per bucket it co-occurs
+    in (dedup across buckets is the caller's groupBy)."""
+    salted = _salted_blocks(bands, keys, max_bucket)
+    l, r = salted.alias("l"), salted.alias("r")
+    diag = F.col("blk_a") == F.col("blk_b")
+    keep = F.when(diag, F.col("l.doc_id") < F.col("r.doc_id")).otherwise(
+        (F.col("l.s") <= F.col("l.t")) & (F.col("r.s") > F.col("r.t"))
+    )
+    swap = F.col("l.doc_id") < F.col("r.doc_id")
+    out_cols = [
+        F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_a"),
+        F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_b"),
+    ]
+    for p in payload:
+        out_cols.append(F.when(swap, F.col(f"l.{p}")).otherwise(F.col(f"r.{p}")).alias(f"{p}_a"))
+        out_cols.append(F.when(swap, F.col(f"r.{p}")).otherwise(F.col(f"l.{p}")).alias(f"{p}_b"))
+    return l.join(r, [*keys, "blk_a", "blk_b"]).filter(keep).select(*out_cols)
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -129,30 +202,37 @@ def minhash_lsh_pairs(
     """Candidate pairs via band-bucket join, verified with exact shingle
     Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
-    The verify join ships distinct shingle-HASH arrays (8 B/shingle), not the
-    raw shingle strings — payload-light at scale; set Jaccard over 60-bit
-    hashes equals string Jaccard up to md5 collisions.
+    Single declarative plan (r04): the band rows carry each doc's distinct
+    shingle-HASH array (8 B/shingle — never the raw strings), the salted
+    band self-join (`salted_band_pairs`, bounded per-task even when a
+    degenerate corpus floods one bucket) emits candidate pairs with both
+    arrays attached, and the exact Jaccard verify is computed in place after
+    a cross-band groupBy dedup. No driver-side probe job (the r03
+    `hot_keys.isEmpty()` guard cost a blocking pass over the banded corpus
+    before the real join could plan), no `.cache()` (both self-join sides
+    are one subplan → ReusedExchange runs the Arrow signature kernel once),
+    and the guard is inert-by-construction at g = 1, so the DuckDB oracle
+    output is unchanged.
 
-    max_bucket is the skew guard (the analog of ngram_jaccard_pairs'
-    max_df): a degenerate corpus — many near-identical docs — lands d docs
-    in ONE (band, sig) bucket, whose self-join is d² rows in a single task.
-    Buckets above the cap are re-paired through salted block-grid groups
-    (each doc hashes to one of g = ceil(d/cap) salt blocks; upper-triangle
-    block pairs become the join key), so the SAME exact pair set comes out
-    but no task handles more than ~2·cap rows. The cap is inert on
-    non-degenerate data (every bucket ≤ cap → the plain self-join), so the
-    DuckDB oracle output is unchanged."""
-    profiles = doc_shingle_profiles(documents, n).cache()
-    mh = profiles.select("doc_id", "minhashes")
+    Carrying shh on the band rows multiplies band-shuffle payload by
+    MINHASH_BANDS vs a separate verify join, but removes two joins, two full
+    recomputes (or a cache) of the signature kernel, and all driver
+    actions; at petabyte scale, stage `doc_shingle_profiles` to a table
+    first and feed the bands from the scan."""
+    profiles = doc_shingle_profiles(documents, n)
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    bands = mh.select(
+    # 8-byte band signature (xxhash64 of the band's minhash run) instead of
+    # a 32-char md5 string: same bucket semantics up to hash collisions,
+    # quarter the shuffle-key payload
+    bands = profiles.select(
         "doc_id",
+        "shh",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
+                        F.xxhash64(
                             F.concat_ws(
                                 ",",
                                 *[F.element_at("minhashes", b * rows_per_band + i + 1) for i in range(rows_per_band)],
@@ -163,71 +243,11 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-
-    bands = bands.cache()
-    sizes = bands.groupBy("band", "sig").agg(F.count("*").alias("bn"))
-    hot_keys = sizes.filter(F.col("bn") > max_bucket)
-    # short-circuit the common case: no hot bucket → plain self-join, none
-    # of the guard's extra stages (anti-join, salt explode, union) in the
-    # plan. hot_keys is a tiny aggregate over the cached bands, so this
-    # driver-side probe costs one small job, not a second table scan.
-    if hot_keys.isEmpty():
-        cand = (
-            bands.alias("l")
-            .join(bands.alias("r"), ["band", "sig"])
-            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-            .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-            .distinct()
-        )
-        return _verify_pairs(profiles, cand, jaccard_threshold)
-    cold = bands.join(F.broadcast(hot_keys.select("band", "sig")), ["band", "sig"], "left_anti")
-    cand_cold = (
-        cold.alias("l")
-        .join(cold.alias("r"), ["band", "sig"])
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-    )
-
-    # hot buckets: salted block-grid pairing. doc → salt block s of g;
-    # explode to the g (a,b)=(min(s,t),max(s,t)) block-pair groups it joins
-    # in; LEFT role in groups where s<=t, RIGHT where s>t. Every pair meets
-    # in exactly one group; per-group row count is bounded by ~2·cap.
-    hot = bands.join(F.broadcast(hot_keys), ["band", "sig"]).withColumn(
-        "g", F.ceil(F.col("bn") / F.lit(max_bucket)).cast("int")
-    ).withColumn("s", F.pmod(F.xxhash64("doc_id"), F.col("g")).cast("int"))
-    exp = hot.withColumn("t", F.explode(F.sequence(F.lit(0), F.col("g") - 1))).select(
-        "band",
-        "sig",
-        "doc_id",
-        F.least("s", "t").alias("a"),
-        F.greatest("s", "t").alias("b"),
-        (F.col("s") <= F.col("t")).alias("is_left"),
-    )
-    lhs = exp.filter(F.col("is_left") | (F.col("a") == F.col("b")))
-    rhs = exp.filter(~F.col("is_left") | (F.col("a") == F.col("b")))
-    # roles are fixed by salt, so the left-role doc may carry the LARGER id;
-    # order with least/greatest (an l<r filter here would silently drop the
-    # half of cross-block pairs whose left doc id is bigger)
-    cand_hot = (
-        lhs.alias("l")
-        .join(rhs.alias("r"), ["band", "sig", "a", "b"])
-        .filter(F.col("l.doc_id") != F.col("r.doc_id"))
-        .select(
-            F.least("l.doc_id", "r.doc_id").alias("doc_a"),
-            F.greatest("l.doc_id", "r.doc_id").alias("doc_b"),
-        )
-    )
-    cand = cand_cold.unionByName(cand_hot).distinct()
-    return _verify_pairs(profiles, cand, jaccard_threshold)
-
-
-def _verify_pairs(profiles: DataFrame, cand: DataFrame, jaccard_threshold: float) -> DataFrame:
-    """Exact Jaccard verify over distinct shingle-hash sets."""
-    sh = profiles.select("doc_id", F.col("shh").alias("sh"))
+    ).select("doc_id", "shh", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    pairs = salted_band_pairs(bands, ["band", "sig"], ["shh"], max_bucket)
     return (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.first("shh_a").alias("sh_a"), F.first("shh_b").alias("sh_b"))
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
         .withColumn("jaccard", F.round(F.col("n_inter") / F.col("n_union"), 6))
@@ -251,38 +271,55 @@ def ngram_jaccard_pairs(
 
     Shingles are joined by their 60-bit md5 hash (from the Arrow profile
     kernel), not the raw strings: same Jaccard up to md5 collisions, 8 B/row
-    join payload, and no interpreted higher-order expressions."""
+    join payload, and no interpreted higher-order expressions.
+
+    Single declarative branch (r04): document frequency (the hot-shingle
+    filter) and per-doc set size are window counts computed in line, and
+    n_sh rides each exploded row into the self-join, so the per-doc sizes
+    come out of the pair groupBy itself — no separate sizes/hot branches
+    re-deriving the shingle kernel, no broadcast anti-join, no `.cache()`.
+    Both self-join sides are the same subplan → ReusedExchange runs the
+    Arrow kernel once."""
     sh = doc_shingle_profiles(documents, n).select(
         "doc_id", F.explode("shh").alias("sh")
-    ).cache()  # consumed by sizes + both self-join sides
+    )
     if max_df is not None:
-        hot = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("sh")
+        sh = (
+            sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+            .filter(F.col("df") <= max_df)
+            .drop("df")
         )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    pairs = (
+    sh = sh.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+    return (
         sh.alias("l")
         .join(sh.alias("r"), "sh")
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    out = (
-        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first(F.col("l.n_sh")).alias("na"),
+            F.first(F.col("r.n_sh")).alias("nb"),
+        )
         .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return out
 
 
-def simhash64(documents: DataFrame, bits: int = 32) -> DataFrame:
-    """Bit-vote SimHash over word-token hashes (portable md5-derived)."""
+def _bit_mask_lit(b: int):
+    """int64 literal with bit b set — bit 63 is the sign bit, so its mask is
+    the two's-complement −2^63 (a bare 1<<63 overflows LongType)."""
+    return F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+
+
+def simhash64(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """Bit-vote SimHash over word-token hashes (portable md5-derived).
+
+    Default widened to the full 64 bits (r04): 64-bit fingerprints are what
+    makes 16-bit hamming bands (simhash_hamming_pairs) selective at scale —
+    the Manku/Jain/Sarma block-permute regime. Bit 63 votes with the
+    sign-bit mask and a `!= 0` test (the masked value is negative when
+    set)."""
     toks = _spread(documents).select(
         "doc_id",
         F.transform(
@@ -292,7 +329,7 @@ def simhash64(documents: DataFrame, bits: int = 32) -> DataFrame:
     )
     def _vote(bit: int):
         def merge(acc, h):
-            return acc + F.when(h.bitwiseAND(F.lit(1 << bit)) > 0, 1).otherwise(-1)
+            return acc + F.when(h.bitwiseAND(_bit_mask_lit(bit)) != 0, 1).otherwise(-1)
 
         return merge
 
@@ -302,7 +339,7 @@ def simhash64(documents: DataFrame, bits: int = 32) -> DataFrame:
     v = toks.select("doc_id", *votes)
     sim = F.lit(0).cast("long")
     for b in range(bits):
-        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = sim + F.when(F.col(f"v{b}") > 0, _bit_mask_lit(b)).otherwise(F.lit(0).cast("long"))
     return v.select("doc_id", sim.alias("simhash"))
 
 
@@ -335,17 +372,30 @@ def embedding_dups(
     for candidate pruning.
 
     n_blocks: callers at scale should size this ≈ N/block_size. When omitted
-    it derives from the scan's partition count (a file-count heuristic —
-    pure plan metadata, no job), never a `.count()` scan: partitions ≈
-    bytes/maxPartitionBytes, so blocks track data volume at write-time row
-    sizes without an extra pass over the table."""
+    it derives from plan metadata only (no `.count()` job): the larger of
+    the scan's partition count, the session's core count, and a bytes-based
+    bound sizeInBytes / (block_size · row_bytes_hint) that keeps block_size
+    an UPPER bound on expected rows per block even when a single 128 MB
+    partition holds hundreds of thousands of embedding rows (one block =
+    one task's dense matmul — unbounded rows per block is task-OOM at
+    scale).
+
+    row_bytes_hint: assumed serialized bytes per embedding row for the
+    bytes-based bound (default 512 ≈ a 64–128-dim float vector + id;
+    parquet float columns compress ~1:1)."""
     if n_blocks is None:
-        # scan partitions track data volume (bytes/maxPartitionBytes) but a
-        # small table reads as ONE partition — floor at the session's core
-        # count so every core gets block-pair groups to score
+        est_bytes = int(embeddings._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        row_bytes_hint = 512
+        # clamp the bytes-derived term: stats on a non-scan input can be a
+        # wild overestimate (join default is petabytes), and the broadcast
+        # block-pair table is O(n_blocks²) rows — 1024 blocks ≈ 525k pairs
+        # (~4 MB broadcast) and 1024·block_size rows is already past where
+        # exact all-pairs should yield to embedding_dups_lsh
+        by_bytes = min(1024, -(-est_bytes // max(1, block_size * row_bytes_hint)))  # ceil div
         n_blocks = max(
             embeddings.rdd.getNumPartitions(),
             embeddings.sparkSession.sparkContext.defaultParallelism,
+            by_bytes,
         )
     nb = n_blocks
     spark = embeddings.sparkSession
@@ -450,7 +500,11 @@ def embedding_dups_lsh(
 
 
 def simhash_hamming_pairs(
-    documents: DataFrame, bits: int = 32, max_hamming: int = 3, n_bands: int = 4
+    documents: DataFrame,
+    bits: int = 64,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -458,8 +512,18 @@ def simhash_hamming_pairs(
     contiguous bands; a pair within hamming h < n_bands must agree on at
     least one whole band (pigeonhole), so a band-value equi-join finds ALL
     qualifying pairs with max_hamming = n_bands − 1 — no cross join, no
-    recall loss. Verification is one xor + bit_count. Same plan family as
-    minhash_lsh_pairs: candidates from an equi-join, cheap exact verify."""
+    recall loss. Verification is one xor + bit_count.
+
+    Scale posture (r04 — closes the r03 scale-killer): defaults are 64-bit
+    fingerprints in 4 bands of 16 bits (the Manku-style block regime). The
+    r03 32-bit/8-bit-band defaults gave only 256 band keys, so every bucket
+    held ~N/256 docs and the band self-join was quadratic on ANY large
+    corpus. 16-bit keys give 65 536 buckets per band — and residual hot
+    buckets (a genuinely near-identical cluster, or low-entropy fingerprint
+    bands on templated text) are bounded by the same salted block-grid
+    guard as minhash_lsh_pairs (`salted_band_pairs`): no task self-joins
+    more than ~2·max_bucket rows, exact pair set unchanged, guard cost at
+    g = 1 is just the window count."""
     if max_hamming >= n_bands:
         raise ValueError("exactness requires max_hamming < n_bands (pigeonhole)")
     band_width = bits // n_bands
@@ -482,19 +546,11 @@ def simhash_hamming_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    pairs = (
-        bands.alias("l")
-        .join(bands.alias("r"), ["band", "key"])
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.simhash").alias("sa"),
-            F.col("r.simhash").alias("sb"),
-        )
-        .distinct()
+    pairs = salted_band_pairs(bands, ["band", "key"], ["simhash"], max_bucket)
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.first("simhash_a").alias("sa"), F.first("simhash_b").alias("sb"))
         .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
-    return pairs

@@ -390,11 +390,18 @@ def knn_join(
     row_number.
 
     checkpoint_dir: when set, every level's resolved rows commit to an
-    Icelite stage table (per-partition lineage metrics + exact resume, the
-    north-rule checkpoint contract) and the RETURNED frame reads back from
-    it — a flat parquet-scan plan whose depth does not grow with escalation
-    levels, instead of a union tree of cached window/join plans. Without it
-    (ad-hoc local use) levels are cached and unioned in memory."""
+    Icelite stage table via commit_resumable (per-partition lineage metrics;
+    a rerun pointed at the same dir — crash recovery, or an idempotent
+    re-invocation — skips (stage, rank)-partitions the manifest already
+    records instead of appending duplicates: levels are deterministic, so
+    the skipped rows are exactly the rows the rerun would recompute) and the
+    RETURNED frame reads back from it — a flat parquet-scan plan whose depth
+    does not grow with escalation levels, instead of a union tree of cached
+    window/join plans. Level caches are unpersisted as soon as the commit
+    materializes them. Without checkpoint_dir (ad-hoc local use) levels are
+    cached and unioned in memory; those per-level result caches stay alive
+    because the returned plan references them — only superseded `remaining`
+    frontiers are released."""
     if max_ring is not None and max_ring > ring:
         from ..cells.grid import cell_side
 
@@ -414,7 +421,8 @@ def knn_join(
             res_df = knn_join(remaining, centroids, k=k, res=res, ring=r).cache()
             if r >= max_ring:
                 if tbl is not None:
-                    tbl.commit(res_df, "rank", stage=f"knn-ring-{r}")
+                    tbl.commit_resumable(res_df, "rank", stage=f"knn-ring-{r}")
+                    res_df.unpersist()
                 else:
                     out = res_df if out is None else out.unionByName(res_df)
                 break
@@ -426,13 +434,26 @@ def knn_join(
             )
             resolved = res_df.join(proven, "image_id", "left_semi")
             if tbl is not None:
-                tbl.commit(resolved, "rank", stage=f"knn-ring-{r}")
+                tbl.commit_resumable(resolved, "rank", stage=f"knn-ring-{r}")
             else:
                 out = resolved if out is None else out.unionByName(resolved)
-            remaining = remaining.join(proven, "image_id", "left_anti").cache()
-            if remaining.isEmpty():
+            next_remaining = remaining.join(proven, "image_id", "left_anti").cache()
+            is_done = next_remaining.isEmpty()  # materializes next_remaining (and res_df)
+            # the superseded frontier is no longer referenced by any future
+            # plan (next levels build on next_remaining; the checkpoint path's
+            # return is a flat scan) — release it now that its successor is
+            # materialized. In the ad-hoc path res_df caches must survive:
+            # the returned union still reads them.
+            if remaining is not images:
+                remaining.unpersist()
+            if tbl is not None:
+                res_df.unpersist()
+            remaining = next_remaining
+            if is_done:
                 break
             r = min(r * 4, max_ring)
+        if remaining is not images:
+            remaining.unpersist()
         if tbl is not None:
             spark = images.sparkSession
             return tbl.read(spark).select(

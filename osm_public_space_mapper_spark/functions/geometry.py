@@ -164,7 +164,17 @@ def st_buffer_udf(dist: float, cap_style: str = "round", join_style: str = "roun
     pieces are composited on an adaptive local raster (px defaults to
     max(extent/1024, |dist|/8)) and vectorized back to rings — the engine's
     raster↔vector bridge, bounded per geometry, no shared state.
+
+    Batch behavior (r04): raster dims are quantized up to multiples of 64 so
+    scratch mask buffers repeat across the rows of an Arrow batch and are
+    reused (zeroed in place) instead of allocated per geometry, and output
+    rings pass through geo/kernels.simplify_ring at sub-pixel tolerance —
+    safe here because each buffered geometry is standalone (unlike layer
+    rings, whose shared boundary chains must never be simplified
+    independently), and it collapses the raster staircase to sparse chains
+    (~2-4× fewer vertices in the shipped payload).
     """
+    from ..geo.kernels import simplify_ring
     from ..geo.offset import boundary_band_pieces, buffer_line_pieces, pieces_mask
     from ..geo.raster import Grid, rasterize_polygon, vectorize_mask
 
@@ -172,6 +182,18 @@ def st_buffer_udf(dist: float, cap_style: str = "round", join_style: str = "roun
 
     @pandas_udf(GEOM_TYPE)
     def _buf(geom: pd.Series, kind: pd.Series) -> pd.Series:
+        scratch: dict = {}
+
+        def get_buf(h: int, w: int, slot: int) -> np.ndarray:
+            key = (h, w, slot)
+            b = scratch.get(key)
+            if b is None:
+                b = np.zeros((h, w), dtype=bool)
+                scratch[key] = b
+            else:
+                b[:] = False
+            return b
+
         out = []
         for parts, k in zip(geom, kind):
             part_list = [] if parts is None else list(parts)
@@ -187,22 +209,30 @@ def st_buffer_udf(dist: float, cap_style: str = "round", join_style: str = "roun
             xmin, ymin = allc.min(axis=0) - 2 * half - 1
             xmax, ymax = allc.max(axis=0) + 2 * half + 1
             res = px if px is not None else max((max(xmax - xmin, ymax - ymin)) / 1024.0, half / 8.0)
-            grid = Grid.from_bbox(xmin, ymin, xmax, ymax, res)
+            w64 = -(-max(1, int(np.ceil((xmax - xmin) / res))) // 64) * 64
+            h64 = -(-max(1, int(np.ceil((ymax - ymin) / res))) // 64) * 64
+            grid = Grid(xmin, ymin, res, w64, h64)
             is_line = k in ("linestring", "multilinestring")
             if is_line:
                 pieces = []
                 for r in rings:
                     pieces.extend(buffer_line_pieces(r, half, cap_style, join_style))
-                mask = pieces_mask(grid, pieces)
+                mask = pieces_mask(grid, pieces, out=get_buf(grid.h, grid.w, 0))
             else:
-                mask = rasterize_polygon(grid, rings)
+                mask = rasterize_polygon(grid, rings, out=get_buf(grid.h, grid.w, 0))
                 pieces = []
                 for r in rings:
                     pieces.extend(boundary_band_pieces(r, half, join_style))
-                band = pieces_mask(grid, pieces)
-                mask = (mask | band) if dist > 0 else (mask & ~band)
+                band = pieces_mask(grid, pieces, out=get_buf(grid.h, grid.w, 1))
+                if dist > 0:
+                    np.logical_or(mask, band, out=mask)
+                else:
+                    np.logical_and(mask, ~band, out=mask)
             polys = vectorize_mask(grid, mask)
-            out.append([ring.tolist() for poly in polys for ring in poly])
+            tol = 0.45 * res
+            out.append(
+                [simplify_ring(ring, tol).tolist() for poly in polys for ring in poly]
+            )
         return pd.Series(out, index=geom.index)
 
     return _buf

@@ -186,10 +186,11 @@ def boundary_band_pieces(
     return pieces
 
 
-def pieces_mask(grid, pieces: list[np.ndarray]) -> np.ndarray:
+def pieces_mask(grid, pieces: list[np.ndarray], out: "np.ndarray | None" = None) -> np.ndarray:
     """Rasterize a union of convex pieces: pixel-center half-plane tests in
-    each piece's bbox window — O(Σ piece window), never O(H·W·pieces)."""
-    mask = np.zeros((grid.h, grid.w), dtype=bool)
+    each piece's bbox window — O(Σ piece window), never O(H·W·pieces).
+    `out`: optional pre-zeroed scratch buffer (batch callers reuse)."""
+    mask = np.zeros((grid.h, grid.w), dtype=bool) if out is None else out
     for piece in pieces:
         gx, gy = grid.world_to_pix(piece[:, 0], piece[:, 1])
         pp = np.stack([gx, gy], axis=1)

@@ -51,12 +51,14 @@ class Grid:
         return self.ox + np.asarray(cx) * self.px, self.oy + np.asarray(cy) * self.px
 
 
-def rasterize_polygon(grid: Grid, rings: list[np.ndarray]) -> np.ndarray:
+def rasterize_polygon(grid: Grid, rings: list[np.ndarray], out: np.ndarray | None = None) -> np.ndarray:
     """Even-odd scanline fill of a (multi)polygon → bool mask.
 
     O(H·E) intersection work + span fills; no per-pixel PIP.
+    `out`: optional pre-zeroed (grid.h, grid.w) bool scratch buffer to fill
+    instead of allocating (batch callers reuse buffers across rows).
     """
-    mask = grid.empty()
+    mask = grid.empty() if out is None else out
     p0s, p1s = [], []
     for r in rings:
         r = np.asarray(r, dtype=np.float64)

@@ -312,16 +312,15 @@ def _bit_mask_lit(b: int):
     return F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
 
 
-def simhash64(documents: DataFrame, bits: int = 64) -> DataFrame:
-    """Bit-vote SimHash over word-token hashes (portable md5-derived).
-
-    Default widened to the full 64 bits (r04): 64-bit fingerprints are what
-    makes 16-bit hamming bands (simhash_hamming_pairs) selective at scale —
-    the Manku/Jain/Sarma block-permute regime. Bit 63 votes with the
-    sign-bit mask and a `!= 0` test (the masked value is negative when
-    set)."""
-    toks = _spread(documents).select(
-        "doc_id",
+def simhash_frame(documents: DataFrame, bits: int = 64, keep: list[str] | None = None) -> DataFrame:
+    """(keep..., simhash) — the fingerprint computation shared by the batch
+    simhash64 view and the streaming near-dup tombstone operator (streaming
+    inputs skip the batch-only repartition spread). Pure Catalyst
+    expressions: tokenize → distinct → per-bit vote → reconstruct."""
+    keep = keep if keep is not None else ["doc_id"]
+    src = documents if documents.isStreaming else _spread(documents)
+    toks = src.select(
+        *keep,
         F.transform(
             F.array_distinct(F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")),
             hash64,
@@ -336,11 +335,40 @@ def simhash64(documents: DataFrame, bits: int = 64) -> DataFrame:
     votes = [
         F.aggregate(F.col("th"), F.lit(0), _vote(b)).alias(f"v{b}") for b in range(bits)
     ]
-    v = toks.select("doc_id", *votes)
+    v = toks.select(*keep, *votes)
     sim = F.lit(0).cast("long")
     for b in range(bits):
         sim = sim + F.when(F.col(f"v{b}") > 0, _bit_mask_lit(b)).otherwise(F.lit(0).cast("long"))
-    return v.select("doc_id", sim.alias("simhash"))
+    return v.select(*keep, sim.alias("simhash"))
+
+
+def simhash_band_keys_col(bits: int, n_bands: int):
+    """array<struct<band,key>> of the fingerprint's contiguous band keys —
+    shared between the batch hamming join and the streaming tombstones."""
+    band_width = bits // n_bands
+    mask = (1 << band_width) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * band_width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def simhash64(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """Bit-vote SimHash over word-token hashes (portable md5-derived).
+
+    Default widened to the full 64 bits (r04): 64-bit fingerprints are what
+    makes 16-bit hamming bands (simhash_hamming_pairs) selective at scale —
+    the Manku/Jain/Sarma block-permute regime. Bit 63 votes with the
+    sign-bit mask and a `!= 0` test (the masked value is negative when
+    set)."""
+    return simhash_frame(documents, bits)
 
 
 def cosine_expr(a, b):
@@ -526,25 +554,11 @@ def simhash_hamming_pairs(
     g = 1 is just the window count."""
     if max_hamming >= n_bands:
         raise ValueError("exactness requires max_hamming < n_bands (pigeonhole)")
-    band_width = bits // n_bands
-    mask = (1 << band_width) - 1
     sh = simhash64(documents, bits)
     bands = sh.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), b * band_width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(simhash_band_keys_col(bits, n_bands)).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     pairs = salted_band_pairs(bands, ["band", "key"], ["simhash"], max_bucket)
     return (

@@ -34,7 +34,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..geo.kernels import ring_signed_area, simplify_ring
+from ..geo.kernels import ring_signed_area
 from ..geo.raster import (
     Grid,
     close_open,
@@ -48,7 +48,7 @@ from ..geo.raster import (
 
 OVERLAP_THRESHOLD = 0.95          # analyse_access.py:245
 MIN_ENCLOSED_AREA = 2.0           # analyse_access.py:331
-PEDESTRIAN_WIDTH = 1.8            # regional_defaults.py pedestrian_way_default_width
+PEDESTRIAN_WIDTH = 1.8            # regional_defaults.py:55 Vienna default (OverlayConfig carries the live value)
 
 
 @dataclass
@@ -59,6 +59,12 @@ class OverlayConfig:
     # exact projected bbox ring (the reference projects the 4326 rect's
     # corners → a quadrilateral, bounding_box.py:30-37); None → axis rect
     bbox_ring: np.ndarray | None = None
+    # regional pedestrian-way width: the reference ties the J8
+    # building-cropper buffer AND the road close radius to
+    # pedestrian_way_default_width (analyse_traffic_area.py:273), so a
+    # non-Vienna RegionalConfig must reach the kernel, not just the
+    # classify-stage width tables
+    pedestrian_width: float = PEDESTRIAN_WIDTH
 
 
 @dataclass
@@ -228,18 +234,19 @@ def run_overlay(
     # thin strips off adjacent roads — the dominant golden traffic-area gap.
     from ..geo.offset import boundary_band_pieces, buffer_line_pieces, pieces_mask
 
+    ped_width = cfg.pedestrian_width
     bld_pieces: list[np.ndarray] = []
     for r in by_role.get("building", ()):
         if r.geom_kind in ("polygon", "multipolygon"):
             for ring in r.parts:
-                bld_pieces.extend(boundary_band_pieces(ring, PEDESTRIAN_WIDTH, "mitre"))
+                bld_pieces.extend(boundary_band_pieces(ring, ped_width, "mitre"))
         elif r.geom_kind in ("linestring", "multilinestring"):
             for path in r.parts:
-                bld_pieces.extend(buffer_line_pieces(path, PEDESTRIAN_WIDTH, "round", "mitre"))
+                bld_pieces.extend(buffer_line_pieces(path, ped_width, "round", "mitre"))
     croppers |= buildings | pieces_mask(grid, bld_pieces) | platforms
     croppers_smooth = close_open(croppers, 0.3 / px, 0, "disc")
     road_cropped = roads & ~croppers_smooth
-    first_r = (PEDESTRIAN_WIDTH / 2 + 0.2) / px
+    first_r = (ped_width / 2 + 0.2) / px
     road_final = close_open(road_cropped, first_r, 0, "disc")
     road_final = close_open(road_final, 0.3 / px, 0, "disc")
 

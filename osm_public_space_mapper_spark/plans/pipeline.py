@@ -199,7 +199,7 @@ def overlay_stage(records: DataFrame, cfg: OverlayConfig, overlay_res: int = OVE
     ).drop("_bbox")
 
     bbox_ring_list = cfg.bbox_ring.tolist() if cfg.bbox_ring is not None else None
-    px, mg, bbox = cfg.px, cfg.margin, cfg.bbox
+    px, mg, bbox, pw = cfg.px, cfg.margin, cfg.bbox, cfg.pedestrian_width
 
     def _run(pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(pdf["overlay_cell"].iloc[0])
@@ -207,6 +207,7 @@ def overlay_stage(records: DataFrame, cfg: OverlayConfig, overlay_res: int = OVE
         kcfg = OverlayConfig(
             px=px, margin=mg, bbox=bbox,
             bbox_ring=np.asarray(bbox_ring_list, np.float64) if bbox_ring_list is not None else None,
+            pedestrian_width=pw,
         )
         recs_list = [
             ElementRecord(
@@ -247,7 +248,16 @@ def run_pipeline(
     region: RegionalConfig | None = None,
 ) -> DataFrame:
     """elements (raw 4326) → public-space polygon layer
-    (overlay_cell, space_category, access, geom, area)."""
+    (overlay_cell, space_category, access, geom, area).
+
+    `region` parameterizes BOTH the classify-stage width tables and the
+    overlay kernel's pedestrian-width uses (J8 building-cropper band + road
+    close radius, reference analyse_traffic_area.py:273) — a non-Vienna
+    region is consistent end-to-end without touching operator code."""
     stages = classify_stage(elements)
     records = build_overlay_records(stages, region=region)
+    if region is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, pedestrian_width=region.pedestrian_way_default_width)
     return overlay_stage(records, cfg, overlay_res)

@@ -249,6 +249,40 @@ def test_pipeline_road_area_shifts_with_region(spark):
     assert wide > base * 1.2, (base, wide)  # doubled widths → clearly larger traffic layer
 
 
+def test_pipeline_pedestrian_width_reaches_overlay_kernel(spark):
+    """r04 (ADVICE): pedestrian_way_default_width must reach the overlay
+    kernel's J8 building-cropper band (reference analyse_traffic_area.py:273
+    ties the building buffer to it), not just the classify-stage width
+    tables. A much wider pedestrian width buffers building croppers wider →
+    more road area cropped away → the traffic layer SHRINKS."""
+    from dataclasses import replace as dc_replace
+
+    from osm_public_space_mapper_spark.config import VIENNA
+    from osm_public_space_mapper_spark.fixtures.elements import BBOX_4326, elements_to_spark as _els
+    from osm_public_space_mapper_spark.operators.overlay_core import OverlayConfig
+    from osm_public_space_mapper_spark.plans.pipeline import projected_bbox_ring, run_pipeline
+
+    ring = projected_bbox_ring(
+        BBOX_4326["left"], BBOX_4326["bottom"], BBOX_4326["right"], BBOX_4326["top"]
+    )
+    env = (float(ring[:, 0].min()), float(ring[:, 1].min()),
+           float(ring[:, 0].max()), float(ring[:, 1].max()))
+    cfg = OverlayConfig(px=0.5, margin=64.0, bbox=env, bbox_ring=ring)
+
+    def traffic_area(region):
+        layer = run_pipeline(_els(spark), cfg, overlay_res=8, region=region)
+        rows = layer.filter(F.col("space_category") == "traffic area").collect()
+        return sum(r.area for r in rows)
+
+    base = traffic_area(VIENNA)
+    wide_ped = traffic_area(dc_replace(VIENNA, pedestrian_way_default_width=8.0))
+    assert base > 0
+    # net effect is damped (the road close radius also grows with the same
+    # knob and re-fills some cropped pixels) but must be clearly negative:
+    # measured −1.6% on the fixture
+    assert wide_ped < base * 0.99, (base, wide_ped)
+
+
 def test_clean_chain_metrics(spark):
     from osm_public_space_mapper_spark.operators.clean import clean_chain_with_metrics
 

@@ -177,3 +177,60 @@ def test_stream_dedup_drops_duplicates(spark, tmp_path):
     }
     for k, v in got.items():
         assert batch[k] == v
+
+
+def test_simhash_stream_tombstones_match_batch_pairs(spark, tmp_path):
+    """Streaming hamming-tolerant near-dup detection (r04): an availableNow
+    run over a doc fixture must tombstone exactly the docs that the BATCH
+    simhash_hamming_pairs query pairs with an earlier doc — same
+    fingerprints, same band keys, state-verified hamming (band-collision
+    false positives must NOT be emitted)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osm_public_space_mapper_spark.operators import dedup as DD
+    from osm_public_space_mapper_spark.streaming.dedup import simhash_stream_tombstones
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    texts = {
+        1: base,
+        2: base,                                   # exact dup of 1
+        3: base.replace("lazy", "sleepy"),         # near dup
+        4: "completely different text about spark shuffles and partitions and skew",
+        5: base,                                   # later dup again
+        6: "another unrelated document mentioning raster tiles and cell indexes",
+        7: base.replace("river", "canal").replace("today", "tomorrow"),
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "ts": pd.to_datetime("2026-01-01 10:00:00")
+            + pd.to_timedelta([10 * i for i in texts], unit="s"),
+        }
+    )
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    docs = spark.read.parquet(src)
+
+    # batch oracle: a doc is tombstoned iff it pairs with an EARLIER doc
+    pairs = DD.simhash_hamming_pairs(docs.select("doc_id", "text")).collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    expected = {max(r.doc_a, r.doc_b) for r in pairs}  # doc_id order == ts order
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = simhash_stream_tombstones(stream, watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("simhash_tomb")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "ckt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM simhash_tomb").collect()
+    got = {r.doc_id for r in rows}
+    assert got == expected, (sorted(got), sorted(expected))
+    # verified hamming on every tombstone (no unverified band collisions)
+    batch_h = {tuple(sorted((r.doc_a, r.doc_b))): r.hamming for r in pairs}
+    for r in rows:
+        key = tuple(sorted((r.doc_id, r.dup_of)))
+        assert key in batch_h and r.hamming == batch_h[key], r

@@ -216,10 +216,22 @@ def run_overlay(
     for i, em in enumerate(enclosed_masks):
         if i in dropped_enclosed:
             continue
-        cropped = em & ~all_elem_polys
-        if (em & all_elem_polys).any():
-            if mask_area(cropped, px) > MIN_ENCLOSED_AREA:
-                surviving_enclosed.append(cropped)
+        inter = em & all_elem_polys
+        if inter.any():
+            # raster boundary film vs real interior overlap (r04): an element
+            # that merely TOUCHES the enclosed area at vector precision
+            # rasterizes into a ~1-px film over it; the reference's vector
+            # difference removes ~nothing there (analyse_access.py:326-333
+            # keeps the area at essentially full size), while the raster
+            # difference would shave the film off every touching edge. If the
+            # overlap does not survive a 1-px erosion it is film, not
+            # interior → keep the area uncropped, like the vector op.
+            if not erode(inter, 1.0).any():
+                surviving_enclosed.append(em)
+            else:
+                cropped = em & ~all_elem_polys
+                if mask_area(cropped, px) > MIN_ENCLOSED_AREA:
+                    surviving_enclosed.append(cropped)
         else:
             surviving_enclosed.append(em)
 

@@ -105,10 +105,17 @@ def test_golden_area_parity(layer_rows):
     for k, ga in gold.items():
         ratio = eng[k] / ga
         # r03 (vector mitre cropper bands + disc closes): 9/10 pairs ≤ 1%.
-        # ('undefined space','no') sits at −1.25%: one ~53 m² courtyard where
-        # the reference's inaccessible-enclosed-area polygon survives over a
-        # service road (vector J7 crop + J9 enclosed-clips-road interplay at
-        # sub-pixel scale); every other pair is ≤ 1%.
+        # ('undefined space','no') sits at −1.25%. r04 localized it: ONE
+        # ~56 m² block at (4796292..4796300, 2807818..2807831) — a parking
+        # courtyard (amenity=parking polygon + highway=service
+        # service=parking_aisle line) where the reference's enclosed area
+        # covers 103 m² and its traffic area 37 m², while the engine's
+        # buffered parking-aisle road wins 89 m² of it. The r04 film-aware
+        # J7 crop (treat 1-px raster overlap as a vector touch) measurably
+        # changed nothing — the overlap is interior, not film: the loss is
+        # the J7 vector-vs-raster crop of the enclosed area against the
+        # buffered aisle interacting with J9's enclosed-clips-road pass.
+        # Timeboxed per VERDICT r03 #6; documented, not chased further.
         tol = 0.015 if k == ("undefined space", "no") else 0.01
         assert abs(ratio - 1) < tol, (k, eng[k], ga, ratio)
     total_e, total_g = sum(eng.values()), sum(gold.values())

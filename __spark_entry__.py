@@ -772,6 +772,62 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOMB_SEQ = [0]
+
+
+def _q_simhash_stream_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup tombstones replayed over the documents table as an
+    availableNow file stream (event time synthesized as doc_id seconds — the
+    same total order the DuckDB oracle uses), then reduced to the distinct
+    tombstoned doc ids. Exercises the stateful hamming-verified band
+    operator end to end under the driver's hash check; the horizon covers
+    the whole table, so a doc is tombstoned iff some earlier doc is within
+    hamming 3 — exactly `SELECT DISTINCT doc_b FROM <batch pairs>`."""
+    import shutil
+    import tempfile
+
+    from osm_public_space_mapper_spark.streaming.dedup import simhash_stream_tombstones
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    _TOMB_SEQ[0] += 1
+    name = f"simhash_tomb_q{_TOMB_SEQ[0]}"
+    staged = tempfile.mkdtemp(prefix="tombsrc_")
+    ckpt = tempfile.mkdtemp(prefix="tombckpt_")
+    try:
+        docs.write.mode("overwrite").parquet(staged)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(staged).schema)
+            .parquet(staged)
+            .withColumn(
+                "ts",
+                F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_dt_interval(secs=F.col("doc_id")),
+            )
+        )
+        out = simhash_stream_tombstones(stream, watermark="3650 days")
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table(name)
+            .select("doc_id")
+            .distinct()
+            .orderBy("doc_id")
+        )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _simhash_stream_tombstones_sql_duck() -> str:
+    """A doc is tombstoned iff an earlier (smaller doc_id = earlier event
+    time) doc lies within hamming 3 — the later end of every batch pair."""
+    pairs = _simhash_pairs_sql_duck(64, 3, 4)
+    return f"SELECT DISTINCT doc_b AS doc_id FROM ({pairs})"
+
+
 def _simhash_duck_ctes(bits: int = 64) -> str:
     # bit 63: the vote mask 2^63 hugeint-promotes (h sign-extends, so the
     # AND still isolates the 64-bit sign bit), and the reconstruction term
@@ -1001,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "simhash_hamming_pairs": _q_simhash_pairs,
+        "simhash_stream_tombstones": _q_simhash_stream_tombstones,
         "embedding_dups": _q_emb_dups,
         "embedding_topk": _q_emb_topk,
         "ann_lsh_topk": _q_emb_ann,
@@ -1038,6 +1095,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_pairs_sql_duck(3, 0.5),
         "simhash": _simhash_sql_duck(64),
         "simhash_hamming_pairs": _simhash_pairs_sql_duck(64, 3, 4),
+        "simhash_stream_tombstones": _simhash_stream_tombstones_sql_duck(),
         "embedding_dups": _EMB_DUPS_DUCK,
         "embedding_topk": _TOPK_DUCK,
         "ann_lsh_topk": _ann_sql_duck(),

@@ -772,6 +772,37 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-pipeline dedup (r04): the surviving document set
+    after BOTH exact dedup (one keeper per normalized-content fingerprint —
+    catches short docs with no shingles) and MinHash-LSH near-dup removal
+    (drop any doc whose verified Jaccard ≥ 0.5 partner has a smaller id —
+    the deterministic keep-first rule; chains resolve to their minimum id).
+    This is the survivors = corpus ∖ tombstones contract a data pipeline
+    actually materializes; both stages are single declarative plans."""
+    docs = _t(spark, sf_dir, "documents")
+    keeps = DD.exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    near_tomb = (
+        DD.minhash_lsh_pairs(docs, 3, 0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return keeps.join(near_tomb, "doc_id", "left_anti").orderBy("doc_id")
+
+
+def _dedup_survivors_sql_duck() -> str:
+    pairs = _minhash_pairs_sql_duck(3, 0.5)
+    return f"""
+WITH keeps AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5({_NORM}) AS fp FROM documents) GROUP BY fp
+),
+tomb AS (SELECT DISTINCT doc_b AS doc_id FROM ({pairs}))
+SELECT k.doc_id FROM keeps k LEFT JOIN tomb t ON t.doc_id = k.doc_id
+WHERE t.doc_id IS NULL
+"""
+
+
 _TOMB_SEQ = [0]
 
 
@@ -1058,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_hamming_pairs": _q_simhash_pairs,
         "simhash_stream_tombstones": _q_simhash_stream_tombstones,
+        "dedup_survivors": _q_dedup_survivors,
         "embedding_dups": _q_emb_dups,
         "embedding_topk": _q_emb_topk,
         "ann_lsh_topk": _q_emb_ann,
@@ -1096,6 +1128,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql_duck(64),
         "simhash_hamming_pairs": _simhash_pairs_sql_duck(64, 3, 4),
         "simhash_stream_tombstones": _simhash_stream_tombstones_sql_duck(),
+        "dedup_survivors": _dedup_survivors_sql_duck(),
         "embedding_dups": _EMB_DUPS_DUCK,
         "embedding_topk": _TOPK_DUCK,
         "ann_lsh_topk": _ann_sql_duck(),

@@ -182,9 +182,12 @@ def run_full() -> dict:
     from osm_public_space_mapper_spark.plans.pipeline import build_overlay_records, classify_stage
 
     recs = build_overlay_records(classify_stage(elements_to_spark(spark)))
+    # 25 large fixture geometries: spread one per task (the op is per-row
+    # parallel; without this they cluster into a few scheduling waves)
+    sub = recs.filter(F.col("role").isin("road", "pedestrian", "building")).repartition(CPUS)
     t = time.time()
     buf = st_buffer_udf(1.8, cap_style="flat", join_style="mitre")
-    recs.filter(F.col("role").isin("road", "pedestrian", "building")).select(
+    sub.select(
         F.size(buf(F.col("geom"), F.col("geom_kind"))).alias("n_rings")
     ).agg(F.sum("n_rings")).collect()
     queries["st_buffer"] = round(time.time() - t, 3)

@@ -177,3 +177,37 @@ def test_st_buffer_udf_line_and_polygon(spark):
         "bgeom", neg(F.col("geom"), F.col("geom_kind"))
     ).withColumn("barea", st_area(F.col("bgeom"))).collect()
     assert abs(out2[0].barea - 14 * 14) < 3.0      # erosion by 3
+
+
+def test_st_buffer_udf_batch_scratch_reuse_no_crosstalk(spark):
+    """r04 batch scratch-buffer reuse: many same-quantized-extent geometries
+    in ONE Arrow batch share (zeroed) mask buffers — every row must still
+    get its own correct result, with no pixels leaking from the previous
+    row. Mixed sizes force both buffer reuse and fresh allocation."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osm_public_space_mapper_spark.functions.geometry import st_area, st_buffer_udf
+
+    def square(cx, cy, half):
+        return [[[cx - half, cy - half], [cx + half, cy - half],
+                 [cx + half, cy + half], [cx - half, cy + half]]]
+
+    rows = []
+    # 6 same-size squares at different origins (reused buffers) + 2 bigger
+    for i in range(6):
+        rows.append((i, square(100.0 * i, 50.0, 10.0), 24.0))   # (20+4)²
+    rows.append((6, square(0.0, 500.0, 30.0), 64.0))            # (60+4)²
+    rows.append((7, square(900.0, 900.0, 5.0), 14.0))           # (10+4)²
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "gid": [r[0] for r in rows],
+            "geom_kind": ["polygon"] * len(rows),
+            "geom": [r[1] for r in rows],
+            "expect_side": [r[2] for r in rows],
+        })
+    ).coalesce(1)  # one partition → one Arrow batch → buffers actually reused
+    buf = st_buffer_udf(2.0, join_style="mitre", px=0.1)
+    out = df.withColumn("barea", st_area(buf(F.col("geom"), F.col("geom_kind")))).collect()
+    for r in out:
+        assert abs(r.barea - r.expect_side ** 2) < 3.0, (r.gid, r.barea, r.expect_side ** 2)

@@ -234,3 +234,36 @@ def test_simhash_stream_tombstones_match_batch_pairs(spark, tmp_path):
     for r in rows:
         key = tuple(sorted((r.doc_id, r.dup_of)))
         assert key in batch_h and r.hamming == batch_h[key], r
+
+
+def test_simhash_tombstone_state_cap_bounds_state(spark, tmp_path):
+    """The hard per-bucket state cap: with max_bucket_state=2 on a corpus of
+    identical docs, the operator still runs, tombstones every doc after the
+    first (the twin it verifies against is always in state — newest entries
+    are kept), and never errors from unbounded state growth."""
+    import pandas as pd
+
+    from osm_public_space_mapper_spark.streaming.dedup import simhash_stream_tombstones
+
+    base = "same text repeated for every single document in this stream today"
+    n = 30
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": [base] * n,
+            "ts": pd.to_datetime("2026-01-01 10:00:00")
+            + pd.to_timedelta([10 * i for i in range(n)], unit="s"),
+        }
+    )
+    src = str(tmp_path / "capped_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = simhash_stream_tombstones(stream, watermark="30 minutes", max_bucket_state=2)
+    q = (
+        out.writeStream.format("memory").queryName("capped_tomb")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "ckc"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.sql("SELECT * FROM capped_tomb").collect()}
+    assert got == set(range(1, n))  # every doc after the first is tombstoned

@@ -963,6 +963,20 @@ def _q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs (rows-only: PNG decode + DCT are
+    not DuckDB-expressible; the exact numpy brute-force oracle lives in
+    tests/test_images_codec.py). Fixture = 200 deterministic images + the
+    first 40 re-encoded under new ids → 40 guaranteed hamming-0 pairs."""
+    from osm_public_space_mapper_spark.operators.imageops import image_phash_dups
+
+    base = _images(spark, 200, with_pixels=True).select("image_id", "bytes", "w", "h", "fmt")
+    dups = base.orderBy("image_id").limit(40).select(
+        F.concat(F.lit("dup-"), F.col("image_id")).alias("image_id"), "bytes", "w", "h", "fmt"
+    )
+    return image_phash_dups(base.unionByName(dups), max_hamming=3).orderBy("img_a", "img_b")
+
+
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_public_space_mapper_spark.operators.imageops import image_features
 
@@ -1101,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_masks": _q_tiles,
         "image_invariants": _q_image_invariants,
         "image_features": _q_image_features,
+        "image_phash_dups": _q_image_phash_dups,
         "image_cell_histogram": _q_cell_histogram,
     }
 

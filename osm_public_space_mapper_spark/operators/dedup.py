@@ -120,7 +120,8 @@ def doc_minhashes(documents: DataFrame, n: int = 3) -> DataFrame:
     return doc_shingle_profiles(documents, n).select("doc_id", "minhashes")
 
 
-def _salted_blocks(bands: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+def _salted_blocks(bands: DataFrame, keys: list[str], max_bucket: int,
+                   id_col: str = "doc_id") -> DataFrame:
     """The salted/exploded side of `salted_band_pairs` — split out so tests
     can assert the per-(keys, blk_a, blk_b) join-group sizes stay bounded on
     a degenerate corpus. Adds bn (bucket size via window count — the same
@@ -134,7 +135,7 @@ def _salted_blocks(bands: DataFrame, keys: list[str], max_bucket: int) -> DataFr
             "g",
             F.greatest(F.lit(1), F.ceil(F.col("bn") / F.lit(max_bucket))).cast("int"),
         )
-        .withColumn("s", F.pmod(F.xxhash64("doc_id"), F.col("g")).cast("int"))
+        .withColumn("s", F.pmod(F.xxhash64(id_col), F.col("g")).cast("int"))
         .withColumn("t", F.explode(F.sequence(F.lit(0), F.col("g") - 1)))
         .withColumn("blk_a", F.least("s", "t"))
         .withColumn("blk_b", F.greatest("s", "t"))
@@ -146,6 +147,7 @@ def salted_band_pairs(
     keys: list[str],
     payload: list[str],
     max_bucket: int,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact unordered within-bucket pairs with a DECLARATIVE hot-bucket
     guard — one plan, zero driver-side actions.
@@ -173,19 +175,22 @@ def salted_band_pairs(
     (ReusedExchange) — upstream work (e.g. a mapInPandas signature kernel)
     executes once, not twice.
 
-    Returns (doc_a, doc_b, <p>_a, <p>_b ...) with doc_a < doc_b and payload
-    aligned to the ordered ids; a pair appears once per bucket it co-occurs
-    in (dedup across buckets is the caller's groupBy)."""
-    salted = _salted_blocks(bands, keys, max_bucket)
+    Returns (doc_a, doc_b, <p>_a, <p>_b ...) with doc_a < doc_b (by the
+    id column's natural ordering — `id_col` may be any orderable type, e.g.
+    string image ids) and payload aligned to the ordered ids; a pair appears
+    once per bucket it co-occurs in (dedup across buckets is the caller's
+    groupBy)."""
+    salted = _salted_blocks(bands, keys, max_bucket, id_col)
     l, r = salted.alias("l"), salted.alias("r")
+    lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
     diag = F.col("blk_a") == F.col("blk_b")
-    keep = F.when(diag, F.col("l.doc_id") < F.col("r.doc_id")).otherwise(
+    keep = F.when(diag, lid < rid).otherwise(
         (F.col("l.s") <= F.col("l.t")) & (F.col("r.s") > F.col("r.t"))
     )
-    swap = F.col("l.doc_id") < F.col("r.doc_id")
+    swap = lid < rid
     out_cols = [
-        F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_a"),
-        F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_b"),
+        F.least(lid, rid).alias("doc_a"),
+        F.greatest(lid, rid).alias("doc_b"),
     ]
     for p in payload:
         out_cols.append(F.when(swap, F.col(f"l.{p}")).otherwise(F.col(f"r.{p}")).alias(f"{p}_a"))

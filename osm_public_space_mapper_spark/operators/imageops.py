@@ -112,3 +112,118 @@ def image_features(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(_feat, _FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (DCT pHash) + near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+_PHASH_SIZE = 32   # luma downsample side before the DCT
+_PHASH_LOWF = 8    # keep the top-left 8×8 low-frequency block → 64 bits
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (n×n): row k, col i."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2.0 * n))
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+_DCT32 = _dct_matrix(_PHASH_SIZE)
+
+
+def phash64_pixels(px: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of an HxWx3 uint8 image (classic pHash:
+    luma → 32×32 → 2D DCT-II → top-left 8×8 coefficients → bit = coeff >
+    median). Deterministic pure numpy; nearest-neighbor downsample keeps it
+    exact for any input size ≥ 1×1."""
+    luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = luma.shape
+    yy = np.minimum((np.arange(_PHASH_SIZE) * h) // _PHASH_SIZE, h - 1)
+    xx = np.minimum((np.arange(_PHASH_SIZE) * w) // _PHASH_SIZE, w - 1)
+    small = luma[np.ix_(yy, xx)]
+    coefs = (_DCT32 @ small @ _DCT32.T)[:_PHASH_LOWF, :_PHASH_LOWF].ravel()
+    bits = coefs > np.median(coefs)
+    val = 0
+    for b in np.nonzero(bits)[0]:
+        val |= 1 << int(b)
+    if val >= 1 << 63:  # two's complement into int64
+        val -= 1 << 64
+    return val
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("phash64", T.LongType()),
+    ]
+)
+
+
+def image_phash64(images: DataFrame) -> DataFrame:
+    """image_id → 64-bit DCT perceptual hash COMPUTED from decoded pixels
+    (unlike the synthetic fixture's carried `phash` column, this is the real
+    decode → hash stage of an image-dedup pipeline). One Arrow pass."""
+
+    def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for _, row in pdf.iterrows():
+                px = decode_image(bytes(row["bytes"]), int(row["w"]), int(row["h"]), row["fmt"])
+                ids.append(row["image_id"])
+                hashes.append(phash64_pixels(px))
+            yield pd.DataFrame({"image_id": ids, "phash64": pd.Series(hashes, dtype="int64")})
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(_ph, _PHASH_SCHEMA)
+
+
+def image_phash_dups(
+    images: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash hamming distance —
+    the image-payload twin of the text `simhash_hamming_pairs`, sharing its
+    scale machinery: pigeonhole-exact 16-bit band equi-join (a pair within
+    hamming < n_bands agrees on ≥ 1 whole band) through the declarative
+    salted hot-bucket guard (`dedup.salted_band_pairs`, string image ids),
+    then one xor + bit_count verify. Returns (img_a, img_b, hamming)."""
+    from .dedup import salted_band_pairs
+
+    if max_hamming >= n_bands:
+        raise ValueError("exactness requires max_hamming < n_bands (pigeonhole)")
+    band_width = 64 // n_bands
+    mask = (1 << band_width) - 1
+    ph = image_phash64(images)
+    bands = ph.select(
+        F.col("image_id"),
+        "phash64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash64"), b * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("image_id", "phash64", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    pairs = salted_band_pairs(bands, ["band", "key"], ["phash64"], max_bucket, id_col="image_id")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.first("phash64_a").alias("pa"), F.first("phash64_b").alias("pb"))
+        .withColumn("hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("doc_a").alias("img_a"),
+            F.col("doc_b").alias("img_b"),
+            "hamming",
+        )
+    )

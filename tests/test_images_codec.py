@@ -51,3 +51,68 @@ def test_images_fixture_deterministic_and_invariant():
     ph = phash_from_frac(np.array([0.5]), np.array([0.25]))
     lo, la = geotag_from_phash(ph)
     assert abs((lo[0] - 16.39885944803246) / (16.405590927719924 - 16.39885944803246) - 0.5) < 1e-6
+
+
+def test_image_phash_dups_match_bruteforce(spark):
+    """DCT pHash image near-dup pairs: operator output must equal the numpy
+    brute-force pair set over the same decoded pixels; exact duplicates land
+    at hamming 0, lightly perturbed copies within the threshold, unrelated
+    images outside it."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_public_space_mapper_spark.fixtures.images import images_to_spark
+    from osm_public_space_mapper_spark.images.codec import decode_image, encode_png, synth_pixels
+    from osm_public_space_mapper_spark.operators.imageops import (
+        image_phash_dups,
+        image_phash64,
+        phash64_pixels,
+    )
+
+    rows = []
+    rng = np.random.RandomState(5)
+    for i in range(40):
+        px = synth_pixels(1000 + i, 48, 36)
+        rows.append((f"img{i:03d}", encode_png(px), 48, 36, "png", px))
+    # exact duplicates of the first 6 (new ids)
+    for i in range(6):
+        px = synth_pixels(1000 + i, 48, 36)
+        rows.append((f"dup{i:03d}", encode_png(px), 48, 36, "png", px))
+    # lightly perturbed near-dups of the next 4 (±2 on a few pixels)
+    for i in range(6, 10):
+        px = synth_pixels(1000 + i, 48, 36).astype(np.int16)
+        noise = rng.randint(-2, 3, size=px.shape)
+        px = np.clip(px + noise, 0, 255).astype(np.uint8)
+        rows.append((f"near{i:03d}", encode_png(px), 48, 36, "png", px))
+    pdf = pd.DataFrame(
+        {
+            "image_id": [r[0] for r in rows],
+            "bytes": [r[1] for r in rows],
+            "w": [r[2] for r in rows],
+            "h": [r[3] for r in rows],
+            "fmt": [r[4] for r in rows],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    # numpy brute force over the decoded pixels
+    hashes = {r[0]: phash64_pixels(r[5]) for r in rows}
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    expected = {
+        (a, b, ham(hashes[a], hashes[b]))
+        for ai, a in enumerate(sorted(hashes))
+        for b in sorted(hashes)[ai + 1 :]
+        if ham(hashes[a], hashes[b]) <= 3
+    }
+
+    got = {(r.img_a, r.img_b, r.hamming) for r in image_phash_dups(df, max_hamming=3).collect()}
+    assert got == expected, (sorted(got - expected)[:5], sorted(expected - got)[:5])
+
+    # semantic floor: every exact dup pair present at hamming 0 ("dupNNN"
+    # sorts before "imgNNN", so it is always img_a)
+    for i in range(6):
+        assert (f"dup{i:03d}", f"img{i:03d}", 0) in got
+    # …and the operator's phash matches the per-pixel kernel exactly
+    op_hashes = {r.image_id: r.phash64 for r in image_phash64(df).collect()}
+    assert op_hashes == hashes

@@ -347,16 +347,17 @@ def simhash_frame(documents: DataFrame, bits: int = 64, keep: list[str] | None =
     return v.select(*keep, sim.alias("simhash"))
 
 
-def simhash_band_keys_col(bits: int, n_bands: int):
-    """array<struct<band,key>> of the fingerprint's contiguous band keys —
-    shared between the batch hamming join and the streaming tombstones."""
+def simhash_band_keys_col(bits: int, n_bands: int, col_name: str = "simhash"):
+    """array<struct<band,key>> of a 64-bit fingerprint column's contiguous
+    band keys — shared between the batch hamming joins (text simhash, image
+    phash) and the streaming tombstone operators."""
     band_width = bits // n_bands
     mask = (1 << band_width) - 1
     return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), b * band_width)
+                F.shiftrightunsigned(F.col(col_name), b * band_width)
                 .bitwiseAND(F.lit(mask))
                 .alias("key"),
             )

@@ -162,21 +162,33 @@ _PHASH_SCHEMA = T.StructType(
 )
 
 
-def image_phash64(images: DataFrame) -> DataFrame:
+def image_phash64(images: DataFrame, keep: list[str] | None = None) -> DataFrame:
     """image_id → 64-bit DCT perceptual hash COMPUTED from decoded pixels
     (unlike the synthetic fixture's carried `phash` column, this is the real
-    decode → hash stage of an image-dedup pipeline). One Arrow pass."""
+    decode → hash stage of an image-dedup pipeline). One Arrow pass; works
+    on batch and streaming inputs. `keep`: extra passthrough columns (e.g.
+    the event-time column for the streaming tombstone consumer)."""
+    keep = keep or []
 
     def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
+            kept = {k: [] for k in keep}
             for _, row in pdf.iterrows():
                 px = decode_image(bytes(row["bytes"]), int(row["w"]), int(row["h"]), row["fmt"])
                 ids.append(row["image_id"])
                 hashes.append(phash64_pixels(px))
-            yield pd.DataFrame({"image_id": ids, "phash64": pd.Series(hashes, dtype="int64")})
+                for k in keep:
+                    kept[k].append(row[k])
+            out = {"image_id": ids, "phash64": pd.Series(hashes, dtype="int64")}
+            out.update(kept)
+            yield pd.DataFrame(out)
 
-    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(_ph, _PHASH_SCHEMA)
+    schema = T.StructType(
+        list(_PHASH_SCHEMA.fields)
+        + [T.StructField(k, images.schema[k].dataType) for k in keep]
+    )
+    return images.select("image_id", "bytes", "w", "h", "fmt", *keep).mapInPandas(_ph, schema)
 
 
 def image_phash_dups(

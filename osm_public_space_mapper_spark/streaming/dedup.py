@@ -70,82 +70,81 @@ def _popcount64(x):
     return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
-def simhash_stream_tombstones(
-    docs_stream: DataFrame,
+def hamming_stream_tombstones(
+    fingerprinted: DataFrame,
+    id_col: str,
+    fp_col: str,
     event_time_col: str = "ts",
     watermark: str = "10 minutes",
-    bits: int = 64,
     n_bands: int = 4,
     max_hamming: int = 3,
     max_bucket_state: int = 5000,
 ) -> DataFrame:
-    """Streaming NEAR-duplicate detection: emit a tombstone row
-    (doc_id, dup_of, hamming, band) for every document whose SimHash is
-    within `max_hamming` of an EARLIER document inside the watermark
-    horizon — the hamming-tolerant streaming twin of the batch
-    `simhash_hamming_pairs` (operators/dedup.py), sharing its fingerprint
-    and band-key expressions, so the batch query is the oracle for an
-    availableNow run (tests/test_streaming.py).
+    """Generic streaming NEAR-duplicate tombstones over ANY 64-bit
+    fingerprint column (text SimHash, image DCT pHash, ...): emit
+    (id, dup_of, hamming, band) for every row whose fingerprint is within
+    `max_hamming` of an EARLIER row inside the watermark horizon.
 
-    Design (exact, not band-approximate): fingerprints explode to
-    `n_bands` 16-bit band keys; one applyInPandasWithState operator keyed
-    by (band, key) holds the bucket's recent (doc_id, simhash, sec) and
+    Design (exact, not band-approximate): fingerprints explode to `n_bands`
+    16-bit band keys; ONE applyInPandasWithState operator keyed by
+    (band, key) holds the bucket's recent (id, fingerprint, sec) and
     VERIFIES hamming against each arrival before tombstoning — a plain
     dropDuplicatesWithinWatermark on band keys would over-drop band
-    collisions, which at 10^9-rows-per-horizon rates is every document.
+    collisions, which at 10^9-rows-per-horizon rates is every row.
     Pigeonhole (max_hamming < n_bands) guarantees a true near-dup pair
     shares ≥1 band, so no pair is missed; a pair matching in several bands
-    emits duplicate tombstones — consumers take `.dropDuplicates(["doc_id"])`
-    and anti-join the ingest (the tombstone stream is the scalable contract:
-    survivors = ingest ∖ tombstones, exactly how a training pipeline
-    consumes it).
+    emits duplicate tombstones — consumers take `.dropDuplicates([id])`
+    and anti-join the ingest (the tombstone stream is the scalable
+    contract: survivors = ingest ∖ tombstones).
 
     State bound: per (band, key) bucket, entries younger than the watermark
     horizon, hard-capped at `max_bucket_state` (oldest evicted first — a
     cap eviction can only MISS a dup whose twin was pushed out by
-    max_bucket_state newer docs in the same 16-bit bucket, and is logged in
-    the emitted rows' `band` multiplicity). Uniform fingerprints give
-    horizon_rows / 65536 expected entries per bucket per band; docs are
-    dropped from state, never from the data path."""
+    max_bucket_state newer rows in the same 16-bit bucket). Uniform
+    fingerprints give horizon_rows / 65536 expected entries per bucket per
+    band; rows are dropped from state, never from the data path.
+    Fingerprints/times are packed int64 blobs (vectorized SWAR hamming);
+    ids (long or string) are stored as a pickled list, touched only on a
+    verified hit."""
     if max_hamming >= n_bands:
         raise ValueError("exactness requires max_hamming < n_bands (pigeonhole)")
+    import pickle
+
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from ..operators.dedup import simhash_band_keys_col, simhash_frame
+    from ..operators.dedup import simhash_band_keys_col
 
-    sh = (
-        simhash_frame(docs_stream, bits, keep=["doc_id", event_time_col])
-        .withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
+    id_type = fingerprinted.schema[id_col].dataType
+    wm = (
+        fingerprinted.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
         .withWatermark(event_time_col, watermark)
     )
-    bands = sh.select(
-        "doc_id",
-        "simhash",
+    bands = wm.select(
+        F.col(id_col).alias("rid"),
+        F.col(fp_col).alias("fp"),
         F.col(event_time_col),
         F.unix_timestamp(F.col(event_time_col)).alias("sec"),
-        F.explode(simhash_band_keys_col(bits, n_bands)).alias("bk"),
+        F.explode(simhash_band_keys_col(64, n_bands, fp_col)).alias("bk"),
     ).select(
-        "doc_id", "simhash", F.col(event_time_col), "sec",
+        "rid", "fp", F.col(event_time_col), "sec",
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
     )
 
     out_schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("dup_of", T.LongType()),
+            T.StructField(id_col, id_type),
+            T.StructField("dup_of", id_type),
             T.StructField("hamming", T.IntegerType()),
             T.StructField("band", T.IntegerType()),
         ]
     )
-    # state as packed int64 little-endian blobs: Arrow-friendly, no
-    # array-of-struct state encoding edge cases
     state_schema = T.StructType(
         [
             T.StructField("ids", T.BinaryType()),
-            T.StructField("sims", T.BinaryType()),
+            T.StructField("fps", T.BinaryType()),
             T.StructField("secs", T.BinaryType()),
         ]
     )
@@ -156,53 +155,53 @@ def simhash_stream_tombstones(
     def _fn(key, pdfs, state: GroupState):
         band_id = int(key[0])
         if state.exists:
-            ids_b, sims_b, secs_b = state.get
-            st_ids = np.frombuffer(ids_b, dtype=np.int64).copy()
-            st_sims = np.frombuffer(sims_b, dtype=np.int64).copy()
+            ids_b, fps_b, secs_b = state.get
+            st_ids = pickle.loads(ids_b)
+            st_fps = np.frombuffer(fps_b, dtype=np.int64).copy()
             st_secs = np.frombuffer(secs_b, dtype=np.int64).copy()
         else:
-            st_ids = np.empty(0, dtype=np.int64)
-            st_sims = np.empty(0, dtype=np.int64)
+            st_ids = []
+            st_fps = np.empty(0, dtype=np.int64)
             st_secs = np.empty(0, dtype=np.int64)
         rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
-        out_doc, out_dup, out_ham = [], [], []
+        out_id, out_dup, out_ham = [], [], []
         if len(rows):
-            rows = rows.sort_values(["sec", "doc_id"], kind="mergesort")
-            for doc_id, sim, sec in zip(
-                rows["doc_id"].astype(np.int64),
-                rows["simhash"].astype(np.int64),
-                rows["sec"].astype(np.int64),
+            rows = rows.sort_values(["sec", "rid"], kind="mergesort")
+            for rid, fp, sec in zip(
+                rows["rid"], rows["fp"].astype(np.int64), rows["sec"].astype(np.int64)
             ):
                 live = st_secs >= sec - horizon_s
                 if live.any():
-                    h = _popcount64(np.bitwise_xor(st_sims[live], np.int64(sim)))
+                    h = _popcount64(np.bitwise_xor(st_fps[live], np.int64(fp)))
                     hit = h <= mh
                     if hit.any():
                         # earliest surviving near-dup is the canonical twin
-                        cand_ids = st_ids[live][hit]
-                        cand_h = h[hit]
+                        live_idx = np.nonzero(live)[0][hit]
                         j = int(np.argmin(st_secs[live][hit]))
-                        out_doc.append(int(doc_id))
-                        out_dup.append(int(cand_ids[j]))
-                        out_ham.append(int(cand_h[j]))
-                st_ids = np.append(st_ids, np.int64(doc_id))
-                st_sims = np.append(st_sims, np.int64(sim))
+                        out_id.append(rid)
+                        out_dup.append(st_ids[int(live_idx[j])])
+                        out_ham.append(int(h[hit][j]))
+                st_ids.append(rid)
+                st_fps = np.append(st_fps, np.int64(fp))
                 st_secs = np.append(st_secs, np.int64(sec))
         # evict: watermark horizon first, then the hard cap (oldest out)
         wm_s = state.getCurrentWatermarkMs() // 1000
         keep = st_secs >= wm_s - horizon_s
-        st_ids, st_sims, st_secs = st_ids[keep], st_sims[keep], st_secs[keep]
+        if not keep.all():
+            st_ids = [i for i, k in zip(st_ids, keep) if k]
+            st_fps, st_secs = st_fps[keep], st_secs[keep]
         if len(st_ids) > cap:
             order = np.argsort(st_secs, kind="mergesort")[-cap:]
-            st_ids, st_sims, st_secs = st_ids[order], st_sims[order], st_secs[order]
-        state.update((st_ids.tobytes(), st_sims.tobytes(), st_secs.tobytes()))
-        if out_doc:
+            st_ids = [st_ids[int(i)] for i in order]
+            st_fps, st_secs = st_fps[order], st_secs[order]
+        state.update((pickle.dumps(st_ids), st_fps.tobytes(), st_secs.tobytes()))
+        if out_id:
             yield pd.DataFrame(
                 {
-                    "doc_id": out_doc,
+                    id_col: out_id,
                     "dup_of": out_dup,
                     "hamming": out_ham,
-                    "band": [band_id] * len(out_doc),
+                    "band": [band_id] * len(out_id),
                 }
             )
 
@@ -212,6 +211,50 @@ def simhash_stream_tombstones(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def simhash_stream_tombstones(
+    docs_stream: DataFrame,
+    event_time_col: str = "ts",
+    watermark: str = "10 minutes",
+    bits: int = 64,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_state: int = 5000,
+) -> DataFrame:
+    """Text front of `hamming_stream_tombstones`: SimHash fingerprints
+    computed in-stream with the same expressions as the batch
+    `simhash_hamming_pairs`, so the batch query is the oracle for an
+    availableNow run (tests/test_streaming.py)."""
+    from ..operators.dedup import simhash_frame
+
+    sh = simhash_frame(docs_stream, bits, keep=["doc_id", event_time_col])
+    return hamming_stream_tombstones(
+        sh, "doc_id", "simhash", event_time_col, watermark,
+        n_bands=n_bands, max_hamming=max_hamming, max_bucket_state=max_bucket_state,
+    )
+
+
+def phash_stream_tombstones(
+    images_stream: DataFrame,
+    event_time_col: str = "ts",
+    watermark: str = "10 minutes",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_state: int = 5000,
+) -> DataFrame:
+    """Image front of `hamming_stream_tombstones`: decode → DCT pHash in
+    one Arrow pass on the stream (operators/imageops.image_phash64), then
+    the same band-keyed verified state. This is the 10^12-image ingest
+    near-dup story end to end: perceptually-duplicate uploads tombstoned
+    within the watermark horizon; batch `image_phash_dups` is the oracle."""
+    from ..operators.imageops import image_phash64
+
+    ph = image_phash64(images_stream, keep=[event_time_col])
+    return hamming_stream_tombstones(
+        ph, "image_id", "phash64", event_time_col, watermark,
+        n_bands=n_bands, max_hamming=max_hamming, max_bucket_state=max_bucket_state,
     )
 
 

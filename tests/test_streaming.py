@@ -267,3 +267,63 @@ def test_simhash_tombstone_state_cap_bounds_state(spark, tmp_path):
     q.awaitTermination(180)
     got = {r.doc_id for r in spark.sql("SELECT * FROM capped_tomb").collect()}
     assert got == set(range(1, n))  # every doc after the first is tombstoned
+
+
+def test_phash_stream_tombstones_match_batch_pairs(spark, tmp_path):
+    """Image front of the streaming near-dup operator: an availableNow run
+    over an image fixture (with exact re-uploads and perturbed copies) must
+    tombstone exactly the images the BATCH image_phash_dups pairs with an
+    earlier upload — decode → DCT pHash in-stream, hamming verified in
+    state."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_public_space_mapper_spark.images.codec import encode_png, synth_pixels
+    from osm_public_space_mapper_spark.operators.imageops import image_phash_dups
+    from osm_public_space_mapper_spark.streaming.dedup import phash_stream_tombstones
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(25):
+        px = synth_pixels(3000 + i, 40, 32)
+        rows.append((f"im{i:03d}", encode_png(px), 40, 32, "png"))
+    for i in range(5):  # exact re-uploads, later event times
+        px = synth_pixels(3000 + i, 40, 32)
+        rows.append((f"re{i:03d}", encode_png(px), 40, 32, "png"))
+    for i in range(5, 8):  # perturbed re-uploads
+        px = synth_pixels(3000 + i, 40, 32).astype(np.int16)
+        px = np.clip(px + rng.randint(-2, 3, size=px.shape), 0, 255).astype(np.uint8)
+        rows.append((f"pt{i:03d}", encode_png(px), 40, 32, "png"))
+    pdf = pd.DataFrame(
+        {
+            "image_id": [r[0] for r in rows],
+            "bytes": [r[1] for r in rows],
+            "w": [r[2] for r in rows],
+            "h": [r[3] for r in rows],
+            "fmt": [r[4] for r in rows],
+            # id order == event-time order: "im..." < "pt..." < "re..." is NOT
+            # lexicographic for pt/re, so derive ts from the row index
+            "ts": pd.to_datetime("2026-01-01 09:00:00")
+            + pd.to_timedelta([7 * i for i in range(len(rows))], unit="s"),
+        }
+    )
+    src = str(tmp_path / "img_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    batch = spark.read.parquet(src)
+
+    # batch oracle: tombstoned = later-uploaded end of every phash pair
+    order = {r[0]: i for i, r in enumerate(rows)}
+    pairs = image_phash_dups(batch.select("image_id", "bytes", "w", "h", "fmt")).collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    expected = {max(r.img_a, r.img_b, key=lambda x: order[x]) for r in pairs}
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = phash_stream_tombstones(stream, watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("phash_tomb")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "ckp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {r.image_id for r in spark.sql("SELECT * FROM phash_tomb").collect()}
+    assert got == expected, (sorted(got), sorted(expected))

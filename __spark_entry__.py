@@ -95,7 +95,7 @@ def _polygon_layer(spark: SparkSession) -> DataFrame:
         pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)), "osm_public_space_mapper_spark")
         hasher = hashlib.sha1()
         for rel in ("operators/overlay_core.py", "plans/pipeline.py", "geo/raster.py",
-                    "geo/kernels.py", "geo/laea.py", "fixtures/elements.py",
+                    "geo/kernels.py", "geo/laea.py", "geo/offset.py", "fixtures/elements.py",
                     "functions/classify.py", "functions/predicates.py", "operators/barriers.py"):
             with open(os.path.join(pkg, rel), "rb") as fh:
                 hasher.update(fh.read())

@@ -195,26 +195,24 @@ def pieces_mask(grid, pieces: list[np.ndarray], out: "np.ndarray | None" = None)
         gx, gy = grid.world_to_pix(piece[:, 0], piece[:, 1])
         pp = np.stack([gx, gy], axis=1)
         # orient CCW in pixel space so the interior is left of every edge
-        area2 = 0.0
-        for i in range(len(pp)):
-            j = (i + 1) % len(pp)
-            area2 += pp[i, 0] * pp[j, 1] - pp[j, 0] * pp[i, 1]
-        if area2 < 0:
+        nxt = np.roll(pp, -1, axis=0)
+        if (pp[:, 0] * nxt[:, 1] - nxt[:, 0] * pp[:, 1]).sum() < 0:
             pp = pp[::-1]
+            nxt = np.roll(pp, -1, axis=0)
         xmin = max(0, int(np.floor(pp[:, 0].min())))
         xmax = min(grid.w - 1, int(np.ceil(pp[:, 0].max())))
         ymin = max(0, int(np.floor(pp[:, 1].min())))
         ymax = min(grid.h - 1, int(np.ceil(pp[:, 1].max())))
         if xmax < xmin or ymax < ymin:
             continue
-        cy, cx = np.mgrid[ymin : ymax + 1, xmin : xmax + 1]
-        pxc = cx + 0.5
-        pyc = cy + 0.5
-        inside = np.ones(pxc.shape, dtype=bool)
-        for i in range(len(pp)):
-            j = (i + 1) % len(pp)
-            ex, ey = pp[j, 0] - pp[i, 0], pp[j, 1] - pp[i, 1]
-            inside &= (pxc - pp[i, 0]) * ey - (pyc - pp[i, 1]) * ex <= 1e-9
+        # pixel centers via broadcast (no mgrid materialization); all edges'
+        # half-plane tests in one 3-D comparison
+        pxc = np.arange(xmin, xmax + 1, dtype=np.float64)[None, :] + 0.5  # (1, W)
+        pyc = np.arange(ymin, ymax + 1, dtype=np.float64)[:, None] + 0.5  # (H, 1)
+        ex = (nxt[:, 0] - pp[:, 0])[:, None, None]
+        ey = (nxt[:, 1] - pp[:, 1])[:, None, None]
+        cross = (pxc[None] - pp[:, 0, None, None]) * ey - (pyc[None] - pp[:, 1, None, None]) * ex
+        inside = (cross <= 1e-9).all(axis=0)
         mask[ymin : ymax + 1, xmin : xmax + 1] |= inside
     return mask
 

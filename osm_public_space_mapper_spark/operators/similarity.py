@@ -140,19 +140,9 @@ def ivf_topk(
         cents_list = seed_ivf_centroids(embeddings, n_lists)
 
     def _list_ids(col: pd.Series, top: int) -> pd.Series:
-        c = np.asarray(cents_list, dtype=np.float64)
-        c = c / np.linalg.norm(c, axis=1, keepdims=True)
-
-        def _assign(batch: pd.Series) -> pd.Series:
-            m = np.stack(batch.to_numpy()).astype(np.float64)
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            sims = np.round(m @ c.T, 6)
-            # stable sort on -sim → ties broken by ascending list_id,
-            # matching the oracle's ORDER BY cosine DESC, list_id ASC
-            idx = np.argsort(-sims, axis=1, kind="stable")[:, :top]
-            return pd.Series(list(idx), index=batch.index).map(lambda a: a.tolist())
-
-        return _assign(col)
+        # shared assignment kernel (also used by the persisted-index path,
+        # so build_ivf_index/ivf_topk_indexed can never drift from this)
+        return _ivf_assign_series(cents_list, col, top)
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql import types as T
@@ -206,6 +196,121 @@ def ann_lsh_topk(
     j = q.alias("q").join(
         corpus.alias("c"), F.col("q.probe") == F.col("c.bucket")
     )
+    scored = j.select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("c.vec_id").alias("vec_id"),
+        F.round(cosine_expr(F.col("q.embedding"), F.col("c.embedding")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index (Icelite inverted lists + partition-pruned probe reads)
+# ---------------------------------------------------------------------------
+
+_IVF_CENTROIDS_FILE = "ivf_centroids.json"
+
+
+def _ivf_assign_series(cents_list: list[list[float]], col: pd.Series, top: int) -> pd.Series:
+    """Nearest-`top` centroid list ids per embedding (the shared assignment
+    kernel of ivf_topk and the persisted-index path): ROUND(cos, 6) with
+    stable list-id tie-break — the ordering the SQL oracle states."""
+    c = np.asarray(cents_list, dtype=np.float64)
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    m = np.stack(col.to_numpy()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    sims = np.round(m @ c.T, 6)
+    idx = np.argsort(-sims, axis=1, kind="stable")[:, :top]
+    return pd.Series(list(idx), index=col.index).map(lambda a: a.tolist())
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    train: bool = True,
+) -> dict:
+    """Train + assign + PERSIST an IVF-flat index as an Icelite table
+    partitioned by list_id — the Spark-native analog of FAISS's on-disk
+    inverted lists. Each list is its own partition in the manifest, so a
+    probe query later reads ONLY its nprobe lists' parquet files
+    (manifest-level partition pruning; at 10^9+ vectors a query touches
+    nprobe/n_lists of the corpus bytes). Centroids land beside the
+    snapshot metadata (`metadata/ivf_centroids.json`) so search needs no
+    retraining and no extra corpus pass. Returns the commit snapshot."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..tables.icelite import IceliteTable
+
+    if train:
+        cents_list = train_ivf_centroids(embeddings, n_lists, sample, iters, seed)
+    else:
+        cents_list = seed_ivf_centroids(embeddings, n_lists)
+
+    @pandas_udf(T.IntegerType())
+    def corpus_list(col: pd.Series) -> pd.Series:
+        return _ivf_assign_series(cents_list, col, 1).map(lambda a: int(a[0]))
+
+    corpus = embeddings.select("vec_id", "embedding").withColumn(
+        "list_id", corpus_list(F.col("embedding"))
+    )
+    tbl = IceliteTable(path)
+    snap = tbl.commit(corpus, "list_id", stage="ivf-build")
+    with open(os.path.join(tbl.meta_dir, _IVF_CENTROIDS_FILE), "w") as f:
+        json.dump({"n_lists": len(cents_list), "centroids": cents_list}, f)
+    return snap
+
+
+def load_ivf_centroids(path: str) -> list[list[float]]:
+    import json
+    import os
+
+    from ..tables.icelite import IceliteTable
+
+    with open(os.path.join(IceliteTable(path).meta_dir, _IVF_CENTROIDS_FILE)) as f:
+        return json.load(f)["centroids"]
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search a persisted IVF index: queries probe their nprobe nearest
+    lists and the corpus scan is PRUNED to exactly those lists' files via
+    the Icelite manifest (asserted in tests via inputFiles). The query side
+    is collected to plan the pruning — queries are small by contract (the
+    corpus side never moves, never broadcasts, never shuffles beyond the
+    probe equi-join)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..tables.icelite import IceliteTable
+
+    cents_list = load_ivf_centroids(path)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def query_lists(col: pd.Series) -> pd.Series:
+        return _ivf_assign_series(cents_list, col, nprobe)
+
+    q = queries.select("query_id", "embedding").withColumn(
+        "probe", F.explode(query_lists(F.col("embedding")))
+    )
+    # tiny driver action over the (small) query side: the distinct probed
+    # list ids decide which manifest partitions to scan at all
+    probes = sorted({int(r.probe) for r in q.select("probe").distinct().collect()})
+    corpus = IceliteTable(path).read(spark, partitions=[str(p) for p in probes])
+    j = q.alias("q").join(corpus.alias("c"), F.col("q.probe") == F.col("c.list_id"))
     scored = j.select(
         F.col("q.query_id").alias("query_id"),
         F.col("c.vec_id").alias("vec_id"),

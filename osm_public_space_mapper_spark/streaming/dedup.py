@@ -12,6 +12,10 @@ exact_stream_dedup      watermarked dropDuplicates on a content key
 windowed_unique_counts  per-window distinct-image counts via two-level agg
                         (approx_count_distinct per window — mergeable sketch,
                         map-side partial)
+hamming_stream_tombstones  generic NEAR-dup tombstones over any 64-bit
+                        fingerprint column: band-keyed verified state
+                        (r04); fronts `simhash_stream_tombstones` (text)
+                        and `phash_stream_tombstones` (image DCT pHash)
 
 State sizing: the watermark bounds state to (rows/sec x horizon) keys, and
 the key is 8 B phash + 8 B dims — a 1-hour horizon at 1 M rows/s is ~58 GB

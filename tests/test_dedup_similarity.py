@@ -242,3 +242,41 @@ def test_ivf_training_deterministic_across_partitioning(spark):
         for v in variants[:2]
     ]
     assert results[0] == results[1]
+
+
+def test_ivf_persisted_index_matches_inline_and_prunes(spark, tmp_path):
+    """build_ivf_index → ivf_topk_indexed must return exactly the inline
+    ivf_topk result (same trained centroids, shared assignment kernel), and
+    the probe read must scan ONLY the probed lists' parquet files
+    (manifest-level partition pruning — the inverted-list layout's point)."""
+    from osm_public_space_mapper_spark.tables.icelite import IceliteTable
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    params = dict(n_lists=16, sample=512, iters=5, seed=42)
+    path = str(tmp_path / "ivf_index")
+    SIM.build_ivf_index(emb, path, **params)
+
+    inline = SIM.ivf_topk(emb, queries, k=5, nprobe=4, train=True,
+                          n_lists=16, sample=512, iters=5, seed=42)
+    indexed = SIM.ivf_topk_indexed(spark, path, queries, k=5, nprobe=4)
+    key = lambda r: (r.query_id, r.rank, r.vec_id, r.cosine)
+    assert sorted(map(key, indexed.collect())) == sorted(map(key, inline.collect()))
+
+    # pruning: the probed partitions are a strict subset of the 16 lists,
+    # and the scan's input files are exactly those partitions' files
+    tbl = IceliteTable(path)
+    manifests = tbl.lineage()
+    all_parts = {m["partition"] for m in manifests}
+    assert len(all_parts) > 4  # corpus spread over many lists
+    cents = SIM.load_ivf_centroids(path)
+    import pandas as pd
+    qp = SIM._ivf_assign_series(cents, pd.Series([r.embedding for r in queries.collect()]), 4)
+    probed = {str(p) for lst in qp for p in lst}
+    assert len(probed) < len(all_parts)  # something actually pruned
+    corpus = tbl.read(spark, partitions=sorted(probed))
+    probed_files = {m["path"] for m in manifests if m["partition"] in probed}
+    assert set(corpus.inputFiles()) == {f"file://{p}" for p in probed_files} or \
+           set(corpus.inputFiles()) == probed_files

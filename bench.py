@@ -192,6 +192,22 @@ def run_full() -> dict:
     ).agg(F.sum("n_rings")).collect()
     queries["st_buffer"] = round(time.time() - t, 3)
 
+    # image-payload near-dup: decode → DCT pHash → banded hamming join over
+    # 1k PNG/raw images + 100 guaranteed duplicates (r04 operator guard)
+    from osm_public_space_mapper_spark.operators.imageops import image_phash_dups
+
+    pix = E._images(spark, 1000, with_pixels=True).select("image_id", "bytes", "w", "h", "fmt")
+    dups = pix.orderBy("image_id").limit(100).select(
+        F.concat(F.lit("dup-"), F.col("image_id")).alias("image_id"), "bytes", "w", "h", "fmt"
+    )
+    corpus = pix.unionByName(dups).repartition(CPUS).cache()
+    corpus.count()
+    t = time.time()
+    n_pairs = image_phash_dups(corpus, max_hamming=3).count()
+    queries["image_phash_dups"] = round(time.time() - t, 3)
+    corpus.unpersist()
+    assert n_pairs >= 100, f"expected ≥100 duplicate pairs, got {n_pairs}"
+
     qmap = E.queries()
     for name in (
         "q1_pricing_summary",

@@ -236,3 +236,40 @@ def st_buffer_udf(dist: float, cap_style: str = "round", join_style: str = "roun
         return pd.Series(out, index=geom.index)
 
     return _buf
+
+
+def st_clip_convex_udf(window_ring: "list[list[float]]"):
+    """geom (+ geom_kind) → geometry clipped to a CONVEX window ring at
+    VECTOR precision (Sutherland–Hodgman for rings, Liang–Barsky for
+    polylines — geo/kernels.clip_ring_convex/clip_path_convex). The exact
+    payload-path counterpart of the overlay kernel's raster J10 crop
+    (reference crop_defined_space_to_bounding_box, clean_data.py:365-398):
+    output vertices are input vertices and true edge-intersection points,
+    no raster lattice. Polygon parts are clipped per ring (intersection
+    with a convex set distributes over exterior∖holes); empty parts drop;
+    a fully-clipped geometry becomes an empty parts array."""
+    from ..geo.kernels import clip_path_convex, clip_ring_convex
+
+    win = np.asarray(window_ring, dtype=np.float64)
+
+    @pandas_udf(GEOM_TYPE)
+    def _clip(geom: pd.Series, kind: pd.Series) -> pd.Series:
+        out = []
+        for parts, k in zip(geom, kind):
+            part_list = [] if parts is None else list(parts)
+            res = []
+            is_line = k in ("linestring", "multilinestring")
+            for p in part_list:
+                arr = np.asarray([np.asarray(q, dtype=np.float64) for q in p])
+                if len(arr) < 2:
+                    continue
+                if is_line:
+                    res.extend(sub.tolist() for sub in clip_path_convex(arr, win))
+                else:
+                    c = clip_ring_convex(arr, win)
+                    if len(c):
+                        res.append(c.tolist())
+            out.append(res)
+        return pd.Series(out, index=geom.index)
+
+    return _clip

@@ -280,3 +280,48 @@ def test_ivf_persisted_index_matches_inline_and_prunes(spark, tmp_path):
     probed_files = {m["path"] for m in manifests if m["partition"] in probed}
     assert set(corpus.inputFiles()) == {f"file://{p}" for p in probed_files} or \
            set(corpus.inputFiles()) == probed_files
+
+
+def test_salted_band_pairs_randomized_parity(spark):
+    """Randomized contract check of the shared guard: for random band
+    tables (skewed key distributions, several seeds) the salted pairing at
+    a small cap must emit EXACTLY the brute-force within-bucket pair set,
+    each pair once per bucket it co-occurs in."""
+    import itertools
+
+    import numpy as np
+
+    for seed in (1, 7, 23):
+        rng = np.random.RandomState(seed)
+        n = 120
+        rows = []
+        for doc in range(n):
+            for band in range(2):
+                # Zipf-ish key skew: a few hot keys + a long tail
+                key = int(rng.zipf(1.5)) % 6
+                rows.append((doc, band, key, doc * 1000 + band))
+        bands = spark.createDataFrame(rows, ["doc_id", "band", "key", "payload"])
+
+        expected = set()
+        by_bucket = {}
+        for doc, band, key, _ in rows:
+            by_bucket.setdefault((band, key), []).append(doc)
+        for (band, key), docs_in in by_bucket.items():
+            for a, b in itertools.combinations(sorted(docs_in), 2):
+                expected.add((a, b, band))
+
+        got_rows = DD.salted_band_pairs(
+            bands, ["band", "key"], ["payload"], max_bucket=7
+        ).collect()
+        # the helper emits (ids, payloads) only; the band is recoverable
+        # from the payload encoding payload = doc*1000 + band
+        got = {(r.doc_a, r.doc_b, r.payload_a % 1000) for r in got_rows}
+        assert got == expected, (seed, len(got), len(expected))
+        # and EXACTLY once per co-bucket: no within-bucket duplicate rows
+        assert len(got_rows) == len(expected), (seed, len(got_rows), len(expected))
+        # payload alignment: payload_a always belongs to doc_a (same band
+        # on both sides of a pair by construction)
+        for r in got_rows:
+            band = r.payload_a % 1000
+            assert r.payload_a == r.doc_a * 1000 + band
+            assert r.payload_b == r.doc_b * 1000 + band

@@ -220,26 +220,34 @@ def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
         return ring
     keep = np.zeros(n, dtype=bool)
     keep[0] = keep[k] = True
-    # iterative DP over index ranges of the (possibly wrapped) sequence
-    idx = np.arange(n)
-    stack = [(idx[0 : k + 1],), (np.concatenate([idx[k:], idx[:1]]),)]
+    # iterative DP over (lo, hi) RANGES of one wrapped index sequence —
+    # no per-segment index-array materialization (r04: the stack previously
+    # copied an index slice per split, dominating cost on multi-thousand-
+    # vertex staircase rings)
+    wrapped = np.concatenate([np.arange(n), [0]])  # 0..n-1,0 (cycle closed)
+    pts = ring[wrapped]
+    px_, py_ = pts[:, 0], pts[:, 1]
+    stack = [(0, k), (k, n)]
     while stack:
-        (seg,) = stack.pop()
-        if len(seg) <= 2:
+        lo, hi = stack.pop()
+        if hi - lo <= 1:
             continue
-        a, b = ring[seg[0]], ring[seg[-1]]
-        mid = ring[seg[1:-1]]
-        ab = b - a
-        L = np.hypot(ab[0], ab[1])
+        ax, ay = px_[lo], py_[lo]
+        bx, by = px_[hi], py_[hi]
+        mx = px_[lo + 1 : hi]
+        my = py_[lo + 1 : hi]
+        abx, aby = bx - ax, by - ay
+        L = np.hypot(abx, aby)
         if L < 1e-12:
-            d = np.hypot(mid[:, 0] - a[0], mid[:, 1] - a[1])
+            d = np.hypot(mx - ax, my - ay)
         else:
-            d = np.abs((mid[:, 0] - a[0]) * ab[1] - (mid[:, 1] - a[1]) * ab[0]) / L
+            d = np.abs((mx - ax) * aby - (my - ay) * abx) / L
         j = int(d.argmax())
         if d[j] > tol:
-            keep[seg[j + 1]] = True
-            stack.append((seg[: j + 2],))
-            stack.append((seg[j + 1 :],))
+            split = lo + 1 + j
+            keep[wrapped[split]] = True
+            stack.append((lo, split))
+            stack.append((split, hi))
     out = ring[keep]
     return out if len(out) >= 3 else ring
 

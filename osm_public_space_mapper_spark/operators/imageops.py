@@ -239,3 +239,59 @@ def image_phash_dups(
             "hamming",
         )
     )
+
+
+_DECODE_STATUS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def with_decode_status(images: DataFrame) -> DataFrame:
+    """images + (decode_ok, decode_error) — the quarantine gate a 10^12-row
+    ingest needs: at that scale corrupt blobs are a certainty, and a raising
+    decode inside any downstream Arrow kernel fails the TASK (and after
+    retries, the job). One try/except decode pass marks rows instead;
+    downstream ops filter `decode_ok` and the quarantine side
+    (`~decode_ok`, with the typed error string) routes to a dead-letter
+    table for reprocessing. Join is by image_id on the unmodified input —
+    the bytes column never ships twice."""
+
+    def _status(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, oks, errs = [], [], []
+            for _, row in pdf.iterrows():
+                ids.append(row["image_id"])
+                try:
+                    px = decode_image(bytes(row["bytes"]), int(row["w"]), int(row["h"]), row["fmt"])
+                    if px.shape != (int(row["h"]), int(row["w"]), 3):
+                        raise ValueError(
+                            f"decoded shape {px.shape} != declared ({int(row['h'])}, {int(row['w'])}, 3)"
+                        )
+                    oks.append(True)
+                    errs.append(None)
+                except NotImplementedError as e:  # exotic codec: quarantine, don't crash
+                    oks.append(False)
+                    errs.append(f"NotImplementedError: {e}")
+                except Exception as e:  # noqa: BLE001 — any corrupt blob quarantines
+                    oks.append(False)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame({"image_id": ids, "decode_ok": oks, "decode_error": errs})
+
+    status = images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _status, _DECODE_STATUS_SCHEMA
+    )
+    return images.join(status, "image_id")
+
+
+def split_quarantine(images: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined) pair from `with_decode_status` — good rows drop
+    the status columns (clean schema for downstream ops), quarantined rows
+    keep image_id + the error for the dead-letter sink."""
+    flagged = with_decode_status(images)
+    good = flagged.filter(F.col("decode_ok")).drop("decode_ok", "decode_error")
+    bad = flagged.filter(~F.col("decode_ok")).select("image_id", "decode_error")
+    return good, bad

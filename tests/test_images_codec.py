@@ -116,3 +116,45 @@ def test_image_phash_dups_match_bruteforce(spark):
     # …and the operator's phash matches the per-pixel kernel exactly
     op_hashes = {r.image_id: r.phash64 for r in image_phash64(df).collect()}
     assert op_hashes == hashes
+
+
+def test_decode_quarantine_splits_corrupt_rows(spark):
+    """Corrupt/undeclared-shape/exotic-codec rows must quarantine with a
+    typed error instead of failing the task; good rows pass through with a
+    clean schema and every downstream op keeps working on them."""
+    import pandas as pd
+
+    from osm_public_space_mapper_spark.images.codec import encode_png, synth_pixels
+    from osm_public_space_mapper_spark.operators.imageops import (
+        image_phash64,
+        split_quarantine,
+    )
+
+    good_px = synth_pixels(77, 20, 16)
+    rows = pd.DataFrame(
+        {
+            "image_id": ["ok1", "ok2", "corrupt", "truncated", "exotic", "shape_lie"],
+            "bytes": [
+                encode_png(good_px),
+                encode_png(good_px),
+                b"not a png at all",
+                encode_png(good_px)[:20],
+                b"\x00\x00\x00\x18ftypmp42",  # pretend-mp4 under a jpeg fmt tag
+                encode_png(good_px),
+            ],
+            "w": [20, 20, 20, 20, 20, 99],  # shape_lie declares wrong dims
+            "h": [16, 16, 16, 16, 16, 99],
+            "fmt": ["png", "png", "png", "png", "jpeg", "png"],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    good, bad = split_quarantine(df)
+    good_ids = {r.image_id for r in good.collect()}
+    bad_rows = {r.image_id: r.decode_error for r in bad.collect()}
+    assert good_ids == {"ok1", "ok2"}
+    assert set(bad_rows) == {"corrupt", "truncated", "exotic", "shape_lie"}
+    assert bad_rows["exotic"].startswith("NotImplementedError")
+    assert all(e for e in bad_rows.values())
+    # downstream op runs clean on the good side
+    assert {r.image_id for r in image_phash64(good).collect()} == {"ok1", "ok2"}
+    assert "decode_ok" not in good.columns

@@ -127,7 +127,14 @@ def _salted_blocks(bands: DataFrame, keys: list[str], max_bucket: int,
     a degenerate corpus. Adds bn (bucket size via window count — the same
     shuffle the self-join needs, no probe job), g salt blocks, s = the doc's
     block, t = the exploded partner block, and the group key
-    (blk_a, blk_b) = (min(s,t), max(s,t))."""
+    (blk_a, blk_b) = (min(s,t), max(s,t)).
+
+    Skew note: the window count funnels each bucket into one task with no
+    map-side partial aggregation — the price of the single-plan/no-probe-job
+    design. A bucket's rows must fit one task's memory (they must anyway:
+    the subsequent self-join groups on the same keys). If a pathological
+    bucket ever bites, a two-pass groupBy-count + broadcast join restores
+    partial aggregation at the cost of a second kernel pass."""
     w = Window.partitionBy(*keys)
     return (
         bands.withColumn("bn", F.count("*").over(w))
@@ -284,7 +291,13 @@ def ngram_jaccard_pairs(
     come out of the pair groupBy itself — no separate sizes/hot branches
     re-deriving the shingle kernel, no broadcast anti-join, no `.cache()`.
     Both self-join sides are the same subplan → ReusedExchange runs the
-    Arrow kernel once."""
+    Arrow kernel once.
+
+    Skew note: the `df` window count puts every row of a hot shingle into
+    one task (no map-side partials) — bounded by the same max_df-scale
+    volume the join itself must hold per key, but a different skew profile
+    than a groupBy count; if it bites, a two-pass groupBy-count + broadcast
+    join of hot shingle hashes restores partial aggregation."""
     sh = doc_shingle_profiles(documents, n).select(
         "doc_id", F.explode("shh").alias("sh")
     )
@@ -518,6 +531,9 @@ def embedding_dups_lsh(
             for j in range(i + 1, n_bits)
         ]
     probed = e.withColumn("probe", F.explode(F.array(*probes)))
+    # dedup candidate id pairs BEFORE the interpreted cosine (a pair
+    # reachable through m probe buckets would score m times otherwise);
+    # embeddings ride through the dedup aggregate
     cand = (
         probed.alias("l")
         .join(e.alias("r"), F.col("l.probe") == F.col("r.bucket"))
@@ -525,12 +541,16 @@ def embedding_dups_lsh(
         .select(
             F.col("l.vec_id").alias("vec_a"),
             F.col("r.vec_id").alias("vec_b"),
-            F.round(cosine_expr(F.col("l.embedding"), F.col("r.embedding")), 6).alias("cosine"),
+            F.col("l.embedding").alias("emb_a"),
+            F.col("r.embedding").alias("emb_b"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
-        .filter(F.col("cosine") >= threshold)
     )
-    return cand
+    return cand.select(
+        "vec_a",
+        "vec_b",
+        F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
 
 
 def simhash_hamming_pairs(

@@ -196,11 +196,21 @@ def ann_lsh_topk(
     j = q.alias("q").join(
         corpus.alias("c"), F.col("q.probe") == F.col("c.bucket")
     )
-    scored = j.select(
+    # dedup candidate id pairs BEFORE scoring: a pair reachable through m
+    # probe buckets would otherwise evaluate the interpreted cosine m times
+    # (up to 37× wasted work at multiprobe=2) only for dropDuplicates to
+    # discard m−1 — the embeddings ride through the dedup aggregate instead
+    cand = j.select(
         F.col("q.query_id").alias("query_id"),
         F.col("c.vec_id").alias("vec_id"),
-        F.round(cosine_expr(F.col("q.embedding"), F.col("c.embedding")), 6).alias("cosine"),
+        F.col("q.embedding").alias("q_emb"),
+        F.col("c.embedding").alias("c_emb"),
     ).dropDuplicates(["query_id", "vec_id"])
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

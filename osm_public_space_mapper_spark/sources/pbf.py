@@ -481,8 +481,22 @@ def load_elements(spark, path: str):
         "tags",
     )
 
-    return (
+    elems = (
         node_elems.unionByName(way_elems)
         .unionByName(rel_elems)
         .unionByName(other_rels)
     )
+    # the entity cache serves 3 consumers of ONE lazy plan (nodes/ways/rels),
+    # so it must outlive this call — callers release it with
+    # release_loader_cache(elems) once the elements are materialized
+    elems._loader_cache = ents
+    return elems
+
+
+def release_loader_cache(elems) -> None:
+    """Unpersist the entity cache backing a `load_elements` frame. Call once
+    the elements have been materialized (written to a bronze table / an
+    action has run); recomputing the frame afterwards re-decodes the PBF."""
+    cached = getattr(elems, "_loader_cache", None)
+    if cached is not None:
+        cached.unpersist()

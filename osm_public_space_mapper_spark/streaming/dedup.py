@@ -39,28 +39,43 @@ def exact_stream_dedup(
     Uses dropDuplicatesWithinWatermark when available (Spark ≥ 3.5: state
     for a key is dropped once the watermark passes its FIRST sighting —
     the right semantics for dedup, where only proximity matters). On older
-    Spark it falls back to watermarked dropDuplicates on the content key
-    alone — still a within-horizon dedup (state ages out with the
-    watermark), but a duplicate arriving after its key's state expired is
-    kept; the semantic difference is logged loudly rather than silently
+    Spark it falls back to dropDuplicates on (content_key, horizon-sized
+    tumbling window of the event time): Spark only evicts streaming-dedup
+    state when the key subset carries an event-time column — dedup on the
+    content key alone would grow state forever — so the window both bounds
+    state (evicted as the watermark passes each window) and bounds the
+    semantics (duplicates are only dropped within the same tumbling window;
+    a duplicate landing just across a window edge is kept). The semantic
+    difference from the ≥3.5 path is logged loudly rather than silently
     downgraded."""
     keyed = images_stream.withColumn(
         "content_key",
         F.xxhash64(F.col("phash"), F.col("w"), F.col("h"), F.col("fmt")),
-    ).withWatermark(event_time_col, watermark)
+    )
     if hasattr(keyed, "dropDuplicatesWithinWatermark"):
-        return keyed.dropDuplicatesWithinWatermark(["content_key"])
+        return keyed.withWatermark(
+            event_time_col, watermark
+        ).dropDuplicatesWithinWatermark(["content_key"])
     import warnings
 
     warnings.warn(
         "Spark < 3.5: dropDuplicatesWithinWatermark unavailable — falling "
-        "back to watermarked dropDuplicates(content_key). Duplicates whose "
-        "key state already aged out of the watermark horizon will NOT be "
-        "dropped.",
+        "back to dropDuplicates on (content_key, tumbling event-time "
+        "window). Dedup is within-window only: a duplicate arriving in a "
+        "later window than its twin is NOT dropped. State is evicted as "
+        "the watermark passes each window.",
         RuntimeWarning,
         stacklevel=2,
     )
-    return keyed.dropDuplicates(["content_key"])
+    # the watermark rides the WINDOW column (a stream allows only one
+    # event-time column, and it must be in the dedup subset for Spark to
+    # evict state); the raw event-time column passes through untouched
+    return (
+        keyed.withColumn("dedup_win", F.window(F.col(event_time_col), watermark))
+        .withWatermark("dedup_win", watermark)
+        .dropDuplicates(["content_key", "dedup_win"])
+        .drop("dedup_win")
+    )
 
 
 def _popcount64(x):
@@ -109,7 +124,16 @@ def hamming_stream_tombstones(
     band; rows are dropped from state, never from the data path.
     Fingerprints/times are packed int64 blobs (vectorized SWAR hamming);
     ids (long or string) are stored as a pickled list, touched only on a
-    verified hit."""
+    verified hit.
+
+    Out-of-order arrival: rows are processed in event-time order WITHIN a
+    micro-batch, but a row arriving in a later batch than a younger-event-
+    time row checks against everything already in state — the liveness test
+    is one-sided (state younger than `sec − horizon`), so a LATE-arriving
+    original can be tombstoned as a duplicate of its later-event-time twin
+    that arrived first. The survivor set (ingest ∖ tombstones) is still
+    exactly one row per near-dup cluster; which end survives under late
+    arrival is arrival-order-first, not event-time-first."""
     if max_hamming >= n_bands:
         raise ValueError("exactness requires max_hamming < n_bands (pigeonhole)")
     import pickle
@@ -161,33 +185,45 @@ def hamming_stream_tombstones(
         if state.exists:
             ids_b, fps_b, secs_b = state.get
             st_ids = pickle.loads(ids_b)
-            st_fps = np.frombuffer(fps_b, dtype=np.int64).copy()
-            st_secs = np.frombuffer(secs_b, dtype=np.int64).copy()
+            st_fps0 = np.frombuffer(fps_b, dtype=np.int64)
+            st_secs0 = np.frombuffer(secs_b, dtype=np.int64)
         else:
             st_ids = []
-            st_fps = np.empty(0, dtype=np.int64)
-            st_secs = np.empty(0, dtype=np.int64)
-        rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+            st_fps0 = np.empty(0, dtype=np.int64)
+            st_secs0 = np.empty(0, dtype=np.int64)
+        batches = list(pdfs)  # materialize: the iterator object is always truthy
+        rows = pd.concat(batches, ignore_index=True) if batches else pd.DataFrame()
+        # one growth buffer per micro-batch (the r04 per-row np.append was
+        # O(k²) copying per batch); new rows fill in place behind `filled`
+        n0, nb = len(st_fps0), len(rows)
+        st_fps = np.empty(n0 + nb, dtype=np.int64)
+        st_secs = np.empty(n0 + nb, dtype=np.int64)
+        st_fps[:n0] = st_fps0
+        st_secs[:n0] = st_secs0
+        filled = n0
         out_id, out_dup, out_ham = [], [], []
-        if len(rows):
+        if nb:
             rows = rows.sort_values(["sec", "rid"], kind="mergesort")
             for rid, fp, sec in zip(
                 rows["rid"], rows["fp"].astype(np.int64), rows["sec"].astype(np.int64)
             ):
-                live = st_secs >= sec - horizon_s
+                cur_fps, cur_secs = st_fps[:filled], st_secs[:filled]
+                live = cur_secs >= sec - horizon_s
                 if live.any():
-                    h = _popcount64(np.bitwise_xor(st_fps[live], np.int64(fp)))
+                    h = _popcount64(np.bitwise_xor(cur_fps[live], np.int64(fp)))
                     hit = h <= mh
                     if hit.any():
                         # earliest surviving near-dup is the canonical twin
                         live_idx = np.nonzero(live)[0][hit]
-                        j = int(np.argmin(st_secs[live][hit]))
+                        j = int(np.argmin(cur_secs[live][hit]))
                         out_id.append(rid)
                         out_dup.append(st_ids[int(live_idx[j])])
                         out_ham.append(int(h[hit][j]))
                 st_ids.append(rid)
-                st_fps = np.append(st_fps, np.int64(fp))
-                st_secs = np.append(st_secs, np.int64(sec))
+                st_fps[filled] = fp
+                st_secs[filled] = sec
+                filled += 1
+        st_fps, st_secs = st_fps[:filled], st_secs[:filled]
         # evict: watermark horizon first, then the hard cap (oldest out)
         wm_s = state.getCurrentWatermarkMs() // 1000
         keep = st_secs >= wm_s - horizon_s
@@ -263,12 +299,51 @@ def phash_stream_tombstones(
 
 
 def _duration_to_seconds(s: str) -> int:
-    """'10 minutes' / '30 seconds' / '2 hours' → seconds (the subset of
-    Spark's CalendarInterval grammar the streaming ops here use)."""
-    n, unit = s.strip().split()
-    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit.lower()]
-    return int(float(n) * mult)
+    """Watermark duration string → seconds, accepting the forms Spark's own
+    interval parser does for the units the streaming ops use: full names,
+    short names ('1 min', '30 secs', '2 hrs'), compound values
+    ('1 hour 30 minutes'), and an optional 'interval' prefix. Called at
+    operator-construction time, so an unsupported string fails the plan
+    up front with a clear message, not inside a running task."""
+    units = {
+        "s": 1, "sec": 1, "second": 1,
+        "m": 60, "min": 60, "minute": 60,
+        "h": 3600, "hr": 3600, "hour": 3600,
+        "d": 86400, "day": 86400,
+        "w": 604800, "week": 604800,
+    }
+    toks = s.strip().lower().split()
+    if toks and toks[0] == "interval":
+        toks = toks[1:]
+    if not toks or len(toks) % 2:
+        raise ValueError(f"cannot parse duration {s!r}: expected '<n> <unit>' pairs")
+    total = 0.0
+    for num, unit in zip(toks[::2], toks[1::2]):
+        base = unit.rstrip("s") or unit  # 'mins'→'min', 's'→'s'
+        if base not in units:
+            raise ValueError(f"unsupported duration unit {unit!r} in {s!r}")
+        try:
+            total += float(num) * units[base]
+        except ValueError:
+            raise ValueError(f"cannot parse duration value {num!r} in {s!r}") from None
+    return int(total)
+
+
+def stream_survivors(ingest: DataFrame, tombstones: DataFrame, id_col: str) -> DataFrame:
+    """survivors = ingest ∖ tombstones — the documented consumer contract of
+    `hamming_stream_tombstones` as one call: a pair matching in several
+    bands emits several tombstones, so tombstones first dedup to one row
+    per id, then anti-join the ingest on `id_col`.
+
+    Works on batch frames (a replayed/availableNow tombstone run, or the
+    materialized tombstone table a long-running job maintains — the
+    scalable pattern: anti-join the tombstone TABLE inside foreachBatch or
+    a downstream batch job, so no stream-stream join state is needed).
+    tests/test_streaming.py pins batch equality against the composed
+    dedup_survivors contract."""
+    return ingest.join(
+        tombstones.select(id_col).dropDuplicates([id_col]), id_col, "left_anti"
+    )
 
 
 def windowed_unique_counts(

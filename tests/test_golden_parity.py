@@ -44,6 +44,8 @@ def layer_rows(spark):
     with tempfile.TemporaryDirectory() as tmp:
         path = f"{tmp}/rabenhof_elements.parquet"
         elems.write.mode("overwrite").parquet(path)
+        pbf.release_loader_cache(elems)  # bronze cut materialized
+        assert not spark.sparkContext._jsc.sc().getPersistentRDDs().size()
         elems = spark.read.parquet(path)
         ring = projected_bbox_ring(BBOX["left"], BBOX["bottom"], BBOX["right"], BBOX["top"])
         env = (float(ring[:, 0].min()), float(ring[:, 1].min()),
@@ -79,8 +81,10 @@ def test_pbf_source_decodes_reference_extract(spark):
     counts = {r["otype"]: r["count"] for r in
               pbf.entities(spark, PBF_PATH).groupBy("otype").count().collect()}
     assert counts == {"node": 7127, "way": 999, "relation": 56}
+    elems = pbf.load_elements(spark, PBF_PATH)
     kinds = {r["geom_kind"]: r["count"] for r in
-             pbf.load_elements(spark, PBF_PATH).groupBy("geom_kind").count().collect()}
+             elems.groupBy("geom_kind").count().collect()}
+    pbf.release_loader_cache(elems)
     assert kinds["point"] == 7127
     assert kinds["polygon"] + kinds["linestring"] == 999
     assert kinds["multipolygon"] > 0  # assembled relations

@@ -158,3 +158,33 @@ def test_decode_quarantine_splits_corrupt_rows(spark):
     # downstream op runs clean on the good side
     assert {r.image_id for r in image_phash64(good).collect()} == {"ok1", "ok2"}
     assert "decode_ok" not in good.columns
+
+
+def test_decode_status_plan_is_single_pass(spark):
+    """with_decode_status must be one passthrough map — no self-join, no
+    shuffle of the bytes column (the r04 version joined a status frame back
+    on image_id: input subtree computed twice, full rows shuffled)."""
+    import pandas as pd
+
+    from osm_public_space_mapper_spark.images.codec import encode_png, synth_pixels
+    from osm_public_space_mapper_spark.operators.imageops import with_decode_status
+
+    px = synth_pixels(5, 12, 10)
+    rows = pd.DataFrame(
+        {
+            "image_id": ["a", "b"],
+            "bytes": [encode_png(px), b"junk"],
+            "w": [12, 12],
+            "h": [10, 10],
+            "fmt": ["png", "png"],
+        }
+    )
+    flagged = with_decode_status(spark.createDataFrame(rows))
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan
+    got = {r.image_id: r.decode_ok for r in flagged.collect()}
+    assert got == {"a": True, "b": False}
+    # passthrough keeps every input column
+    assert {"image_id", "bytes", "w", "h", "fmt", "decode_ok", "decode_error"} == set(
+        flagged.columns
+    )

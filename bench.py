@@ -218,6 +218,8 @@ def run_full() -> dict:
         "exact_dedup",
         "minhash_lsh_pairs",
         "ngram_jaccard_pairs",
+        "simhash",
+        "simhash_hamming_pairs",
         "embedding_dups",
         "embedding_topk",
         "ann_lsh_topk",

@@ -379,15 +379,86 @@ def simhash_band_keys_col(bits: int, n_bands: int, col_name: str = "simhash"):
     )
 
 
+def simhash_kernel_frame(
+    documents: DataFrame, bits: int = 64, keep: list[str] | None = None
+) -> DataFrame:
+    """(keep..., simhash) via ONE Arrow mapInPandas numpy pass — the batch
+    twin of `simhash_frame`'s expression path, bit-identical by
+    construction and pinned by tests/test_dedup_similarity.py.
+
+    The expression path builds `bits` separate interpreted F.aggregate
+    lambdas (no codegen) — one full array traversal per bit per document,
+    the exact anti-pattern whose minhash twin was kernelized in r02
+    (doc_shingle_profiles). Here all 64 bit-votes come out of one
+    (tokens × 64) numpy bit matrix per document: normalize → tokenize →
+    distinct → md5 hash64 (cached per task: token vocabularies are Zipfian,
+    the hot tokens hash once) → popcount columns → vote sign → fingerprint.
+
+    Parity contract with simhash_frame / the DuckDB oracle:
+    - normalization: strip ASCII spaces (Spark trim), lower, collapse Java
+      \\s = [ \\t\\n\\x0b\\f\\r] runs to one space, split on single spaces
+      (empty text yields the single "" token, same as F.split)
+    - distinct tokens vote once each; bit set iff vote strictly > 0
+    - NULL text → simhash 0 (null votes fall through F.when's otherwise)"""
+    import re
+    from hashlib import md5
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    keep = keep if keep is not None else ["doc_id"]
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    shifts = np.arange(bits, dtype=np.uint64)
+    token_cache: dict[str, int] = {}
+
+    def _h(tok: str) -> int:
+        v = token_cache.get(tok)
+        if v is None:
+            v = int(md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+            if len(token_cache) < 1_000_000:  # bound task memory
+                token_cache[tok] = v
+        return v
+
+    def _fps(batches):
+        for pdf in batches:
+            fps = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf["text"].to_numpy()):
+                if not isinstance(text, str):
+                    continue  # NULL text → 0, matching the expression path
+                toks = set(ws_re.sub(" ", text.strip(" ").lower()).split(" "))
+                hs = np.fromiter((_h(t) for t in toks), dtype=np.int64, count=len(toks))
+                bitm = (hs.astype(np.uint64)[:, None] >> shifts[None, :]) & np.uint64(1)
+                votes = 2 * bitm.sum(axis=0, dtype=np.int64) - len(hs)
+                val = int(((votes > 0).astype(np.uint64) << shifts).sum())
+                # two's complement into int64 (bit 63 unreachable with 60-bit
+                # token hashes, but keep bits=64 semantics exact)
+                fps[i] = val - (1 << 64) if val >= 1 << 63 else val
+            out = pdf[keep].copy()
+            out["simhash"] = fps
+            yield out
+
+    schema = T.StructType(
+        [documents.schema[c] for c in keep] + [T.StructField("simhash", T.LongType())]
+    )
+    return _spread(documents).select(*keep, "text").mapInPandas(_fps, schema)
+
+
 def simhash64(documents: DataFrame, bits: int = 64) -> DataFrame:
     """Bit-vote SimHash over word-token hashes (portable md5-derived).
 
     Default widened to the full 64 bits (r04): 64-bit fingerprints are what
     makes 16-bit hamming bands (simhash_hamming_pairs) selective at scale —
-    the Manku/Jain/Sarma block-permute regime. Bit 63 votes with the
-    sign-bit mask and a `!= 0` test (the masked value is negative when
-    set)."""
-    return simhash_frame(documents, bits)
+    the Manku/Jain/Sarma block-permute regime.
+
+    r05: batch inputs run the Arrow numpy kernel (`simhash_kernel_frame`,
+    one pass, all bit-votes from one bit matrix); streaming inputs keep the
+    pure-expression `simhash_frame` (mapInPandas batch paths and the stream
+    operator state layout differ; the two are bit-identical and pinned by a
+    parity test plus the driver's hash-checked oracle rows)."""
+    if documents.isStreaming:
+        return simhash_frame(documents, bits)
+    return simhash_kernel_frame(documents, bits)
 
 
 def cosine_expr(a, b):

@@ -325,3 +325,42 @@ def test_salted_band_pairs_randomized_parity(spark):
             band = r.payload_a % 1000
             assert r.payload_a == r.doc_a * 1000 + band
             assert r.payload_b == r.doc_b * 1000 + band
+
+
+def test_simhash_kernel_matches_expression_path(spark):
+    """The r05 Arrow simhash kernel must be BIT-IDENTICAL to the pure
+    expression path (simhash_frame) that streaming and the DuckDB oracle
+    use — including NULL text (→ 0), empty text (the "" token), whitespace
+    runs, unicode, and single-token docs — at 64 and at narrower widths."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from osm_public_space_mapper_spark.operators import dedup as DD
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # dup
+        "The   Quick\tBrown\nfox  ",
+        "",
+        " ",
+        None,
+        "one",
+        "größe straße ünïcode tökens",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        "punct, heavy! text? with; symbols: everywhere...",
+    ]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}), schema
+    )
+    for bits in (64, 16):
+        kern = {r.doc_id: r.simhash for r in DD.simhash_kernel_frame(df, bits).collect()}
+        expr = {r.doc_id: r.simhash for r in DD.simhash_frame(df, bits).collect()}
+        assert kern == expr, (bits, {k: (kern[k], expr[k]) for k in kern if kern[k] != expr[k]})
+    # the real corpus too: every sf0.001 document fingerprint identical
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kern = {r.doc_id: r.simhash for r in DD.simhash_kernel_frame(docs, 64).collect()}
+    expr = {r.doc_id: r.simhash for r in DD.simhash_frame(docs, 64).collect()}
+    assert kern == expr and len(kern) > 0

@@ -977,6 +977,61 @@ def _q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_phash_dups(base.unionByName(dups), max_hamming=3).orderBy("img_a", "img_b")
 
 
+def _q_phash_pairs_carried(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked relational pin of the image near-dup JOIN (r05): the
+    banded hamming join + salted hot-bucket guard (dedup.hamming_fp_pairs —
+    the exact operator image_phash_dups runs) over a CARRIED 64-bit
+    fingerprint column, DuckDB-oracled bit-for-bit. Complements the
+    decode-side numpy oracle: image_phash_dups pins decode → DCT pHash,
+    this row pins the banding/salting/verify relational machinery with a
+    green driver row. The fingerprint column is synthesized
+    deterministically IN SQL on both engines (the driver's DuckDB views
+    carry no image table): 10-doc groups share an md5-derived base hash and
+    low-4-bit perturbations give in-group hamming 0-4, so the <=3 verify
+    genuinely discards candidates and all 4 bands participate."""
+    from osm_public_space_mapper_spark.functions.text import hash64
+    from osm_public_space_mapper_spark.operators.dedup import hamming_fp_pairs
+
+    fps = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        hash64((F.col("doc_id") % 50).cast("string"))
+        .bitwiseXOR(F.col("doc_id") % 16)
+        .alias("phash"),
+    )
+    return (
+        hamming_fp_pairs(fps, "doc_id", "phash", bits=64, max_hamming=3, n_bands=4)
+        .select(
+            F.col("doc_a").alias("img_a"),
+            F.col("doc_b").alias("img_b"),
+            "hamming",
+        )
+        .orderBy("img_a", "img_b")
+    )
+
+
+def _phash_pairs_carried_sql_duck() -> str:
+    base = _HASH64_DUCK.format(x="CAST(doc_id % 50 AS VARCHAR)")
+    return f"""
+WITH fp AS (
+  SELECT doc_id, xor({base}, doc_id % 16) AS phash FROM documents
+),
+bands AS (
+  SELECT doc_id, phash, b.band, (phash >> (b.band * 16)) & 65535 AS key
+  FROM fp, (SELECT unnest(range(4)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS img_a, r.doc_id AS img_b,
+         l.phash AS pa, r.phash AS pb
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+  WHERE l.doc_id < r.doc_id
+)
+SELECT img_a, img_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(pa, pb)) <= 3
+ORDER BY img_a, img_b
+"""
+
+
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_public_space_mapper_spark.operators.imageops import image_features
 
@@ -1116,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_invariants": _q_image_invariants,
         "image_features": _q_image_features,
         "image_phash_dups": _q_image_phash_dups,
+        "phash_hamming_pairs_carried": _q_phash_pairs_carried,
         "image_cell_histogram": _q_cell_histogram,
     }
 
@@ -1144,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_hamming_pairs": _simhash_pairs_sql_duck(64, 3, 4),
         "simhash_stream_tombstones": _simhash_stream_tombstones_sql_duck(),
         "dedup_survivors": _dedup_survivors_sql_duck(),
+        "phash_hamming_pairs_carried": _phash_pairs_carried_sql_duck(),
         "embedding_dups": _EMB_DUPS_DUCK,
         "embedding_topk": _TOPK_DUCK,
         "ann_lsh_topk": _ann_sql_duck(),

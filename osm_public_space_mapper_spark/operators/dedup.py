@@ -624,6 +624,41 @@ def embedding_dups_lsh(
     ).filter(F.col("cosine") >= threshold)
 
 
+def hamming_fp_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    bits: int = 64,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Exact hamming-≤max_hamming pairs over ANY 64-bit fingerprint column —
+    the shared banded join of `simhash_hamming_pairs` (text) and
+    `imageops.image_phash_dups` (image pHash): pigeonhole band equi-join
+    (a pair within hamming h < n_bands agrees on ≥1 whole contiguous band)
+    through the declarative salted hot-bucket guard, then one
+    xor + bit_count verify. Returns (doc_a, doc_b, hamming) with
+    doc_a < doc_b by the id column's natural ordering."""
+    if max_hamming >= n_bands:
+        raise ValueError("exactness requires max_hamming < n_bands (pigeonhole)")
+    bands = fps.select(
+        F.col(id_col),
+        F.col(fp_col),
+        F.explode(simhash_band_keys_col(bits, n_bands, fp_col)).alias("bk"),
+    ).select(
+        id_col, fp_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    pairs = salted_band_pairs(bands, ["band", "key"], [fp_col], max_bucket, id_col=id_col)
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.first(f"{fp_col}_a").alias("fa"), F.first(f"{fp_col}_b").alias("fb"))
+        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_hamming_pairs(
     documents: DataFrame,
     bits: int = 64,
@@ -649,19 +684,7 @@ def simhash_hamming_pairs(
     guard as minhash_lsh_pairs (`salted_band_pairs`): no task self-joins
     more than ~2·max_bucket rows, exact pair set unchanged, guard cost at
     g = 1 is just the window count."""
-    if max_hamming >= n_bands:
-        raise ValueError("exactness requires max_hamming < n_bands (pigeonhole)")
-    sh = simhash64(documents, bits)
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(simhash_band_keys_col(bits, n_bands)).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    pairs = salted_band_pairs(bands, ["band", "key"], ["simhash"], max_bucket)
-    return (
-        pairs.groupBy("doc_a", "doc_b")
-        .agg(F.first("simhash_a").alias("sa"), F.first("simhash_b").alias("sb"))
-        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+    return hamming_fp_pairs(
+        simhash64(documents, bits), "doc_id", "simhash",
+        bits=bits, max_hamming=max_hamming, n_bands=n_bands, max_bucket=max_bucket,
     )

@@ -199,45 +199,20 @@ def image_phash_dups(
 ) -> DataFrame:
     """Near-duplicate image pairs by perceptual-hash hamming distance —
     the image-payload twin of the text `simhash_hamming_pairs`, sharing its
-    scale machinery: pigeonhole-exact 16-bit band equi-join (a pair within
-    hamming < n_bands agrees on ≥ 1 whole band) through the declarative
-    salted hot-bucket guard (`dedup.salted_band_pairs`, string image ids),
-    then one xor + bit_count verify. Returns (img_a, img_b, hamming)."""
-    from .dedup import salted_band_pairs
+    scale machinery: the shared `dedup.hamming_fp_pairs` banded join —
+    pigeonhole-exact 16-bit band equi-join (a pair within hamming < n_bands
+    agrees on >= 1 whole band) through the declarative salted hot-bucket
+    guard (string image ids), then one xor + bit_count verify. Returns
+    (img_a, img_b, hamming)."""
+    from .dedup import hamming_fp_pairs
 
-    if max_hamming >= n_bands:
-        raise ValueError("exactness requires max_hamming < n_bands (pigeonhole)")
-    band_width = 64 // n_bands
-    mask = (1 << band_width) - 1
-    ph = image_phash64(images)
-    bands = ph.select(
-        F.col("image_id"),
-        "phash64",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("phash64"), b * band_width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("image_id", "phash64", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    pairs = salted_band_pairs(bands, ["band", "key"], ["phash64"], max_bucket, id_col="image_id")
-    return (
-        pairs.groupBy("doc_a", "doc_b")
-        .agg(F.first("phash64_a").alias("pa"), F.first("phash64_b").alias("pb"))
-        .withColumn("hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select(
-            F.col("doc_a").alias("img_a"),
-            F.col("doc_b").alias("img_b"),
-            "hamming",
-        )
+    return hamming_fp_pairs(
+        image_phash64(images), "image_id", "phash64",
+        bits=64, max_hamming=max_hamming, n_bands=n_bands, max_bucket=max_bucket,
+    ).select(
+        F.col("doc_a").alias("img_a"),
+        F.col("doc_b").alias("img_b"),
+        "hamming",
     )
 
 

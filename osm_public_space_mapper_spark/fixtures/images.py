@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..images.codec import encode_png, encode_raw, synth_pixels
+from ..images.codec import encode_jpeg, encode_png, encode_raw, synth_pixels
 from .elements import BBOX_4326
 
 _HOTSPOTS = [(0.25, 0.72), (0.58, 0.45)]  # fraction coords of dense cells
@@ -39,9 +39,16 @@ def geotag_from_phash(phash: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lon, lat
 
 
-def generate_images(n: int, seed: int = 42, with_pixels: bool = True) -> "pd.DataFrame":  # noqa: F821
+def generate_images(
+    n: int, seed: int = 42, with_pixels: bool = True, jpeg_frac: float = 0.0
+) -> "pd.DataFrame":  # noqa: F821
     """Deterministic image rows. with_pixels=False skips encoding (metadata-only
-    benches where bytes content is irrelevant get cheap generation)."""
+    benches where bytes content is irrelevant get cheap generation).
+
+    jpeg_frac carves lossy baseline-JPEG rows out of the raw range using
+    the SAME single rng draw, so the default 0.0 keeps the committed
+    fixtures (and every hash-pinned test built on them) byte-identical
+    while jpeg-bearing corpora stay one parameter away."""
     import pandas as pd
 
     rng = np.random.RandomState(seed)
@@ -61,7 +68,8 @@ def generate_images(n: int, seed: int = 42, with_pixels: bool = True) -> "pd.Dat
 
     ws = rng.randint(16, 97, n)
     hs = rng.randint(16, 97, n)
-    fmts = np.where(rng.rand(n) < 0.5, "png", "raw")
+    uf = rng.rand(n)
+    fmts = np.where(uf < 0.5, "png", np.where(uf >= 1.0 - jpeg_frac, "jpeg", "raw"))
     image_ids = [f"img-{seed:04x}-{i:08d}" for i in range(n)]
     captions = [
         f"scene {i}: öffentlicher Raum près du n°{i % 97} — category probe ☃"
@@ -71,7 +79,12 @@ def generate_images(n: int, seed: int = 42, with_pixels: bool = True) -> "pd.Dat
         blobs = []
         for i in range(n):
             px = synth_pixels(i * 2654435761 + seed, int(ws[i]), int(hs[i]))
-            blobs.append(encode_png(px) if fmts[i] == "png" else encode_raw(px))
+            if fmts[i] == "png":
+                blobs.append(encode_png(px))
+            elif fmts[i] == "jpeg":
+                blobs.append(encode_jpeg(px, quality=90))
+            else:
+                blobs.append(encode_raw(px))
     else:
         blobs = [b""] * n
     return pd.DataFrame(

@@ -1,12 +1,14 @@
-"""Image codecs from scratch: PNG (stdlib zlib) + raw RGB, PSNR, synth pixels.
+"""Image codecs from scratch: PNG (stdlib zlib), baseline JPEG (see
+images/jpeg.py), raw RGB, PSNR, synth pixels.
 
 No Pillow/imageio in this environment (SURVEY.md §7.0); the BASELINE.json
 input_hint requires opaque `bytes:binary` image payloads with a per-row
 invariant of decoded-pixel allclose (PSNR ≥ 40 dB for lossy) + exact caption
-equality. PNG here is lossless (filter 0, RGB8); `raw` is a plain
-height×width×3 uint8 buffer. Exotic formats would be stubbed the same way —
-the Spark-side plumbing (binary column, Arrow batches, mapInPandas decode) is
-identical regardless of codec.
+equality. PNG here is lossless (filter 0, RGB8); JPEG is baseline
+sequential DCT per ITU-T T.81 (lossy — the ≥40 dB invariant path); `raw`
+is a plain height×width×3 uint8 buffer. Still-exotic formats (webp, video
+codecs) stay stubbed — the Spark-side plumbing (binary column, Arrow
+batches, mapInPandas decode) is identical regardless of codec.
 """
 
 from __future__ import annotations
@@ -15,6 +17,8 @@ import struct
 import zlib
 
 import numpy as np
+
+from .jpeg import JpegError, decode_jpeg, encode_jpeg  # noqa: F401 — re-export
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -99,6 +103,8 @@ def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
+    if fmt in ("jpeg", "jpg"):
+        return decode_jpeg(data)
     if fmt == "raw":
         return decode_raw(data, w, h)
     raise NotImplementedError(

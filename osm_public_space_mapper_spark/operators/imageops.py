@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..images.codec import decode_image, encode_png, encode_raw, psnr
+from ..images.codec import decode_image, encode_jpeg, encode_png, encode_raw, psnr
 
 _INVARIANT_SCHEMA = T.StructType(
     [
@@ -63,7 +63,15 @@ def verify_invariants(images: DataFrame, source: DataFrame | None = None, psnr_t
             out = {k: [] for k in ("image_id", "caption", "psnr_db", "pixels_ok", "caption_ok")}
             for _, row in pdf.iterrows():
                 px = decode_image(bytes(row["bytes"]), int(row["w"]), int(row["h"]), row["fmt"])
-                re_encoded = encode_png(px) if row["fmt"] == "png" else encode_raw(px)
+                if row["fmt"] == "png":
+                    re_encoded = encode_png(px)
+                elif row["fmt"] in ("jpeg", "jpg"):
+                    # lossy path: quality-90 re-encode must hold the ≥40 dB
+                    # invariant (re-quantization of already-lattice pixels
+                    # is near-idempotent, tests show it bit-exact)
+                    re_encoded = encode_jpeg(px, quality=90)
+                else:
+                    re_encoded = encode_raw(px)
                 px2 = decode_image(re_encoded, int(row["w"]), int(row["h"]), row["fmt"])
                 p = psnr(px, px2)
                 out["image_id"].append(row["image_id"])

@@ -242,3 +242,22 @@ def test_caption_corruption_is_detected(spark):
 
     with _pytest.raises(ValueError):
         verify_invariants(df)
+
+
+def test_jpeg_rows_hold_lossy_invariant(spark):
+    """jpeg_frac fixture rows flow through the full Spark invariant path:
+    decode -> q90 re-encode -> decode holds the BASELINE.json lossy bar
+    (PSNR >= 40 dB) because re-quantization of lattice pixels is
+    near-idempotent; features and phash run clean on jpeg rows too."""
+    pdf = generate_images(50, seed=11, with_pixels=True, jpeg_frac=0.4)
+    assert (pdf["fmt"] == "jpeg").sum() >= 10
+    df = images_to_spark(spark, pdf)
+    source = images_to_spark(
+        spark, generate_images(50, seed=11, with_pixels=True, jpeg_frac=0.4)
+    )
+    inv = verify_invariants(df, source=source).collect()
+    assert len(inv) == 50
+    assert all(r.pixels_ok for r in inv)
+    assert all(r.psnr_db >= 40.0 for r in inv)
+    feats = image_features(df).collect()
+    assert len(feats) == 50

@@ -130,33 +130,50 @@ def test_decode_quarantine_splits_corrupt_rows(spark):
         split_quarantine,
     )
 
+    from osm_public_space_mapper_spark.images.codec import encode_jpeg
+
     good_px = synth_pixels(77, 20, 16)
+    # progressive JPEG: valid SOI + SOF2 header — decoder must refuse with
+    # NotImplementedError, not misparse
+    progressive = (
+        b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x14\x01\x01\x11\x00"
+    )
     rows = pd.DataFrame(
         {
-            "image_id": ["ok1", "ok2", "corrupt", "truncated", "exotic", "shape_lie"],
+            "image_id": [
+                "ok1", "ok2", "ok_jpeg", "corrupt", "truncated",
+                "exotic", "not_a_jpeg", "progressive", "shape_lie",
+            ],
             "bytes": [
                 encode_png(good_px),
                 encode_png(good_px),
+                encode_jpeg(good_px, quality=90),
                 b"not a png at all",
                 encode_png(good_px)[:20],
-                b"\x00\x00\x00\x18ftypmp42",  # pretend-mp4 under a jpeg fmt tag
+                b"\x00\x00\x00\x18ftypmp42",  # pretend-mp4 under a webp fmt tag
+                b"\x00\x00\x00\x18ftypmp42",  # mp4 bytes under a jpeg fmt tag
+                progressive,
                 encode_png(good_px),
             ],
-            "w": [20, 20, 20, 20, 20, 99],  # shape_lie declares wrong dims
-            "h": [16, 16, 16, 16, 16, 99],
-            "fmt": ["png", "png", "png", "png", "jpeg", "png"],
+            "w": [20, 20, 20, 20, 20, 20, 20, 20, 99],  # shape_lie lies
+            "h": [16, 16, 16, 16, 16, 16, 16, 16, 99],
+            "fmt": ["png", "png", "jpeg", "png", "png", "webp", "jpeg", "jpeg", "png"],
         }
     )
     df = spark.createDataFrame(rows)
     good, bad = split_quarantine(df)
     good_ids = {r.image_id for r in good.collect()}
     bad_rows = {r.image_id: r.decode_error for r in bad.collect()}
-    assert good_ids == {"ok1", "ok2"}
-    assert set(bad_rows) == {"corrupt", "truncated", "exotic", "shape_lie"}
+    assert good_ids == {"ok1", "ok2", "ok_jpeg"}
+    assert set(bad_rows) == {
+        "corrupt", "truncated", "exotic", "not_a_jpeg", "progressive", "shape_lie",
+    }
     assert bad_rows["exotic"].startswith("NotImplementedError")
+    assert bad_rows["progressive"].startswith("NotImplementedError")
+    assert bad_rows["not_a_jpeg"].startswith("JpegError")
     assert all(e for e in bad_rows.values())
-    # downstream op runs clean on the good side
-    assert {r.image_id for r in image_phash64(good).collect()} == {"ok1", "ok2"}
+    # downstream op runs clean on the good side (jpeg row included)
+    assert {r.image_id for r in image_phash64(good).collect()} == {"ok1", "ok2", "ok_jpeg"}
     assert "decode_ok" not in good.columns
 
 

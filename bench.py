@@ -205,8 +205,20 @@ def run_full() -> dict:
     t = time.time()
     n_pairs = image_phash_dups(corpus, max_hamming=3).count()
     queries["image_phash_dups"] = round(time.time() - t, 3)
+
+    # corpus normalization: decode 1.1k mixed png/raw payloads and re-encode
+    # to baseline JPEG with the from-scratch T.81 codec (r05)
+    from osm_public_space_mapper_spark.operators.imageops import transcode_images
+
+    t = time.time()
+    n_jpeg = (
+        transcode_images(corpus, to_fmt="jpeg", quality=90)
+        .filter(F.col("fmt") == "jpeg").count()
+    )
+    queries["transcode_jpeg"] = round(time.time() - t, 3)
     corpus.unpersist()
     assert n_pairs >= 100, f"expected ≥100 duplicate pairs, got {n_pairs}"
+    assert n_jpeg == 1100, f"expected 1100 jpeg rows, got {n_jpeg}"
 
     qmap = E.queries()
     for name in (

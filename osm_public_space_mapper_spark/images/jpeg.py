@@ -611,7 +611,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     reader = _BitReader(data, pos)
     preds = {cid: 0 for cid, _, _ in scan_comps}
-    n_mcu = mcux * mcuy
+    # entropy pass collects quantized-zigzag blocks + their block coords;
+    # dequant + IDCT run batched per component afterwards (one einsum over
+    # all blocks instead of a per-8x8 matmul inside the Python loop — the
+    # decode hot path at corpus scale)
+    comp_zz: dict[int, list[np.ndarray]] = {c[0]: [] for c in comps}
+    comp_pos: dict[int, list[tuple[int, int]]] = {c[0]: [] for c in comps}
     mcu_i = 0
     rst_i = 0
     for my in range(mcuy):
@@ -650,13 +655,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                 raise JpegError("AC run past block end")
                             zz[k] = _extend(reader.read_bits(s), s)
                             k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = zz * qtab[ZIGZAG]
-                        block = _D.T @ coef.reshape(8, 8) @ _D + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+                        comp_zz[cid].append(zz)
+                        comp_pos[cid].append((my * vs + by, mx * hs + bx))
             mcu_i += 1
+
+    for cid, hs, vs, qt in comps:
+        if not comp_zz[cid]:
+            continue
+        qtab = qtabs[qt]
+        zzs = np.stack(comp_zz[cid])  # (n, 64) zigzag order
+        coefs = np.zeros_like(zzs, dtype=np.float64)
+        coefs[:, ZIGZAG] = zzs * qtab[ZIGZAG]
+        blocks = (
+            np.einsum("ji,njk,kl->nil", _D, coefs.reshape(-1, 8, 8), _D) + 128.0
+        )
+        rows_i = np.array([p[0] for p in comp_pos[cid]])
+        cols_i = np.array([p[1] for p in comp_pos[cid]])
+        pl = planes[cid]
+        view = pl.reshape(pl.shape[0] // 8, 8, pl.shape[1] // 8, 8).transpose(0, 2, 1, 3)
+        view[rows_i, cols_i] = blocks
 
     # upsample to full size and color-convert
     full: list[np.ndarray] = []

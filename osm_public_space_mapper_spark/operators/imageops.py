@@ -281,3 +281,49 @@ def split_quarantine(images: DataFrame) -> tuple[DataFrame, DataFrame]:
     good = flagged.filter(F.col("decode_ok")).drop("decode_ok", "decode_error")
     bad = flagged.filter(~F.col("decode_ok")).select("image_id", "decode_error")
     return good, bad
+
+
+def transcode_images(
+    images: DataFrame, to_fmt: str = "jpeg", quality: int = 90
+) -> DataFrame:
+    """Re-encode every image payload to one target codec — the corpus-
+    normalization / storage-compression stage of a training-data pipeline
+    (mixed crawl formats → one codec; raw scans → ~10-30× smaller jpeg
+    before the 100 TB corpus is persisted).
+
+    Single-pass passthrough mapInPandas (same contract as
+    with_decode_status): all input columns ride through, `bytes`/`fmt` are
+    replaced, shape columns stay (decode round-trips them). Rows already in
+    the target format pass through untouched (no generation loss). Decode
+    failures RAISE — run split_quarantine first; that ordering keeps this
+    operator deterministic-output for a clean corpus instead of silently
+    re-emitting corrupt blobs.
+
+    to_fmt: "jpeg" (encode_jpeg at `quality`, 4:4:4 so the ≥40 dB
+    invariant holds), "png", or "raw".
+    """
+    if to_fmt not in ("jpeg", "png", "raw"):
+        raise ValueError("to_fmt must be 'jpeg', 'png' or 'raw'")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, fmts = [], []
+            for blob, w, h, fmt in zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]):
+                if fmt == to_fmt:
+                    blobs.append(bytes(blob))
+                    fmts.append(fmt)
+                    continue
+                px = decode_image(bytes(blob), int(w), int(h), fmt)
+                if to_fmt == "jpeg":
+                    blobs.append(encode_jpeg(px, quality=quality))
+                elif to_fmt == "png":
+                    blobs.append(encode_png(px))
+                else:
+                    blobs.append(encode_raw(px))
+                fmts.append(to_fmt)
+            out = pdf.copy()
+            out["bytes"] = blobs
+            out["fmt"] = fmts
+            yield out
+
+    return images.mapInPandas(_run, images.schema)

@@ -38,6 +38,10 @@ BBOX = dict(left=16.39885944803246, right=16.405590927719924,
 
 @pytest.fixture(scope="module")
 def layer_rows(spark):
+    # other suites legitimately hold process-lifetime caches in the shared
+    # session (__spark_entry__'s layer/tiles), so assert the LOADER's cache
+    # is released as a delta against the pre-load baseline, not global-zero
+    baseline = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     elems = pbf.load_elements(spark, PBF_PATH)
     # bronze-table cut: persist the assembled elements once so the pipeline's
     # role branches don't re-run the PBF decode + assembly joins
@@ -45,7 +49,7 @@ def layer_rows(spark):
         path = f"{tmp}/rabenhof_elements.parquet"
         elems.write.mode("overwrite").parquet(path)
         pbf.release_loader_cache(elems)  # bronze cut materialized
-        assert not spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == baseline
         elems = spark.read.parquet(path)
         ring = projected_bbox_ring(BBOX["left"], BBOX["bottom"], BBOX["right"], BBOX["top"])
         env = (float(ring[:, 0].min()), float(ring[:, 1].min()),

@@ -205,3 +205,41 @@ def test_decode_status_plan_is_single_pass(spark):
     assert {"image_id", "bytes", "w", "h", "fmt", "decode_ok", "decode_error"} == set(
         flagged.columns
     )
+
+
+def test_transcode_images_normalizes_corpus(spark):
+    """transcode_images: the corpus-normalization op — mixed png/raw rows
+    re-encode to one codec; same-format rows pass through byte-identical
+    (no generation loss); schema is unchanged; the jpeg corpus is smaller
+    than the raw one and still decodes faithfully."""
+    from osm_public_space_mapper_spark.fixtures.images import generate_images
+    from osm_public_space_mapper_spark.images.codec import decode_image, psnr
+    from osm_public_space_mapper_spark.operators.imageops import transcode_images
+
+    pdf = generate_images(40, seed=21, with_pixels=True, jpeg_frac=0.25)
+    df = spark.createDataFrame(pdf[["image_id", "bytes", "w", "h", "fmt"]])
+    out = transcode_images(df, to_fmt="jpeg", quality=90)
+    assert out.schema == df.schema
+    rows = {r.image_id: r for r in out.collect()}
+    src = {r["image_id"]: r for _, r in pdf.iterrows()}
+    assert len(rows) == 40
+    raw_bytes = jpeg_bytes = 0
+    for iid, r in rows.items():
+        s = src[iid]
+        assert r.fmt == "jpeg"
+        if s["fmt"] == "jpeg":  # passthrough, not re-encoded
+            assert bytes(r.bytes) == bytes(s["bytes"])
+        else:
+            px0 = decode_image(bytes(s["bytes"]), int(s["w"]), int(s["h"]), s["fmt"])
+            px1 = decode_image(bytes(r.bytes), int(r.w), int(r.h), "jpeg")
+            assert px1.shape == px0.shape
+            assert psnr(px0, px1) >= 28.0  # noisy synth fixture; photo >40
+        if s["fmt"] == "raw":
+            raw_bytes += len(s["bytes"])
+            jpeg_bytes += len(r.bytes)
+    assert jpeg_bytes < raw_bytes * 0.8  # real compression on the raw rows
+    # invalid target refused at plan time
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        transcode_images(df, to_fmt="webp")

@@ -803,6 +803,56 @@ WHERE t.doc_id IS NULL
 """
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure near-dup clusters (r05): alternating large-star /
+    small-star connected components over the minhash_lsh_pairs edge set —
+    a~b and b~c collapse {a,b,c} into one cluster labelled by its min doc_id
+    even when the a~c pair was never emitted. Oracled by a DuckDB recursive
+    CTE computing the same closure."""
+    from osm_public_space_mapper_spark.operators.graph import dup_clusters
+
+    return dup_clusters(_t(spark, sf_dir, "documents"), 3, 0.5).orderBy("doc_id")
+
+
+def _dup_clusters_sql_duck() -> str:
+    pairs = _minhash_pairs_sql_duck(3, 0.5)
+    return f"""
+WITH RECURSIVE
+p AS (SELECT doc_a, doc_b FROM ({pairs})),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON e2.u = r.v WHERE e2.v <> r.u
+),
+cc AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM cc ORDER BY doc_id
+"""
+
+
+def _q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keeper per transitive near-dup cluster: the corpus minus every
+    cluster member that is not its cluster's canonical minimum (anti-join;
+    the corpus side never collects)."""
+    from osm_public_space_mapper_spark.operators.graph import cluster_survivors, dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return cluster_survivors(docs, dup_clusters(docs, 3, 0.5)).orderBy("doc_id")
+
+
+def _cluster_survivors_sql_duck() -> str:
+    clusters = _dup_clusters_sql_duck()
+    return f"""
+SELECT d.doc_id FROM documents d
+LEFT JOIN (SELECT doc_id FROM ({clusters}) WHERE doc_id <> cluster_id) t
+  ON t.doc_id = d.doc_id
+WHERE t.doc_id IS NULL
+ORDER BY d.doc_id
+"""
+
+
 _TOMB_SEQ = [0]
 
 
@@ -1182,6 +1232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming_pairs": _q_simhash_pairs,
         "simhash_stream_tombstones": _q_simhash_stream_tombstones,
         "dedup_survivors": _q_dedup_survivors,
+        "dup_clusters": _q_dup_clusters,
+        "dup_cluster_survivors": _q_cluster_survivors,
         "embedding_dups": _q_emb_dups,
         "embedding_topk": _q_emb_topk,
         "ann_lsh_topk": _q_emb_ann,
@@ -1224,6 +1276,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_hamming_pairs": _simhash_pairs_sql_duck(64, 3, 4),
         "simhash_stream_tombstones": _simhash_stream_tombstones_sql_duck(),
         "dedup_survivors": _dedup_survivors_sql_duck(),
+        "dup_clusters": _dup_clusters_sql_duck(),
+        "dup_cluster_survivors": _cluster_survivors_sql_duck(),
         "phash_hamming_pairs_carried": _phash_pairs_carried_sql_duck(),
         "embedding_dups": _EMB_DUPS_DUCK,
         "embedding_topk": _TOPK_DUCK,

@@ -432,3 +432,96 @@ def test_stream_survivors_matches_dedup_survivors_contract(spark):
         r.doc_id for r in E.queries()["dedup_survivors"](spark, sf).collect()
     )
     assert got == expected and expected
+
+
+def _geofence_points(spark, n=900, seed=23):
+    from osm_public_space_mapper_spark.fixtures.images import generate_images, images_to_spark
+    from osm_public_space_mapper_spark.operators import joins
+
+    pdf = generate_images(n, seed=seed, with_pixels=False)
+    df = images_to_spark(spark, pdf)
+    df = joins.with_geotag(df)
+    df = joins.project_points(df)
+    from osm_public_space_mapper_spark.functions.geometry import cell_udf
+    from pyspark.sql import functions as F
+
+    return df.withColumn("tile_cell", cell_udf(13)(F.col("x"), F.col("y"))).select(
+        "image_id", "x", "y", "tile_cell"
+    )
+
+
+def test_geofence_expr_matches_raster_batch(spark, fixture_layer, tmp_path):
+    """pip_join_expr (pure-Catalyst mask bit test) must reproduce the Arrow
+    cogroup kernel's assignments exactly — same lattice, same MSB-first
+    packbits indexing — and, fed pre-projected points from storage, its
+    plan must contain no Python eval at all."""
+    from osm_public_space_mapper_spark.operators import joins, tiling
+    from osm_public_space_mapper_spark.streaming.geofence import pip_join_expr
+
+    _geofence_points(spark).write.parquet(str(tmp_path / "pts"))
+    pts = spark.read.parquet(str(tmp_path / "pts"))
+    tiles = tiling.rasterize_tiles(fixture_layer, tile_res=10, px=0.25)
+    joins.subdivide_tiles(tiles, 13).write.parquet(str(tmp_path / "sub"))
+    sub = spark.read.parquet(str(tmp_path / "sub"))
+    raster = {
+        (r.image_id, r.space_category, r.access, r.tile_cell)
+        for r in joins.pip_join_raster(pts, tiles).collect()
+    }
+    expr_df = pip_join_expr(pts, sub)
+    got = {
+        (r.image_id, r.space_category, r.access, r.tile_cell)
+        for r in expr_df.collect()
+    }
+    assert got == raster and raster
+    plan = expr_df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # no Arrow/row Python in the lane
+
+
+def test_geofence_stream_matches_batch(spark, fixture_layer, tmp_path):
+    """The SAME expression plan under Structured Streaming (stream-static
+    join, availableNow) emits the identical assignment set."""
+    from pyspark.sql import types as T
+
+    from osm_public_space_mapper_spark.operators import joins, tiling
+    from osm_public_space_mapper_spark.streaming.geofence import geofence_stream, pip_join_expr
+
+    pts = _geofence_points(spark, n=700, seed=29)
+    src = tmp_path / "pts"
+    pts.limit(350).write.parquet(str(src / "a"))
+    pts.exceptAll(pts.limit(350)).write.parquet(str(src / "b"))
+    tiles = tiling.rasterize_tiles(fixture_layer, tile_res=10, px=0.25)
+    sub_path = str(tmp_path / "tiles_sub")
+    joins.subdivide_tiles(tiles, 13).write.parquet(sub_path)
+    sub = spark.read.parquet(sub_path)
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+            T.StructField("tile_cell", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = geofence_stream(stream, sub, passthrough=())
+    q = (
+        out.writeStream.format("memory")
+        .queryName("geofence")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.image_id, r.space_category, r.access, r.tile_cell)
+        for r in spark.sql("SELECT * FROM geofence").collect()
+    }
+    expected = {
+        (r.image_id, r.space_category, r.access, r.tile_cell)
+        for r in pip_join_expr(spark.read.parquet(str(src / "a"), str(src / "b")), sub).collect()
+    }
+    assert got == expected and expected

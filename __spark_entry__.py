@@ -686,6 +686,51 @@ def _q_emb_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-line fractions map-side,
+    top word-bigram char fraction via one doc-keyed groupBy)."""
+    return TXT.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+_REPETITION_DUCK = """
+WITH base AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> length(x) > 0) AS ls,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> length(w) > 0) AS ws
+  FROM documents
+),
+linestats AS (
+  SELECT doc_id,
+    len(ls) AS n_lines,
+    len(list_distinct(ls)) AS n_distinct,
+    COALESCE(list_aggregate(list_transform(ls, x -> length(x)), 'sum'), 0) AS line_chars,
+    COALESCE(list_aggregate(list_transform(list_distinct(ls), x -> length(x)), 'sum'), 0) AS d_chars,
+    COALESCE(list_aggregate(list_transform(ws, w -> length(w)), 'sum'), 0) AS word_chars,
+    ws
+  FROM base
+),
+bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+  FROM linestats, LATERAL unnest(generate_series(1, len(ws) - 1)) AS u(i)
+  WHERE len(ws) >= 2
+),
+cnts AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bigram),
+ranked AS (
+  SELECT doc_id, bigram, cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram DESC) AS rnk
+  FROM cnts
+)
+SELECT l.doc_id,
+  CAST(l.n_lines AS BIGINT) AS n_lines,
+  ROUND(CAST(l.n_lines - l.n_distinct AS DOUBLE) / GREATEST(l.n_lines, 1), 6) AS dup_line_frac,
+  ROUND(CAST(l.line_chars - l.d_chars AS DOUBLE) / GREATEST(l.line_chars, 1), 6) AS dup_line_char_frac,
+  r.bigram AS top_bigram,
+  COALESCE(ROUND(r.cnt * CAST(length(r.bigram) - 1 AS DOUBLE) / GREATEST(l.word_chars, 1), 6), 0.0) AS top_bigram_frac
+FROM linestats l
+LEFT JOIN (SELECT doc_id, bigram, cnt FROM ranked WHERE rnk = 1) r USING (doc_id)
+"""
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS rolling-hash scheme) per document —
     count + min/max fingerprint per doc keeps the row count bounded while
@@ -1224,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_guess": _q_lang,
         "doc_winnow_fingerprints": _q_winnow,
         "doc_word_stats": _q_word_stats,
+        "doc_repetition_stats": _q_repetition,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_jaccard,
         "minhash_signatures": _q_minhash_sig,
@@ -1268,6 +1314,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_guess": _lang_sql_duck(),
         "doc_winnow_fingerprints": _WINNOW_DUCK,
         "doc_word_stats": _WORD_STATS_DUCK,
+        "doc_repetition_stats": _REPETITION_DUCK,
         "exact_dedup": _DEDUP_DUCK,
         "ngram_jaccard_pairs": _jaccard_sql_duck(3, 0.3),
         "minhash_signatures": _minhash_sql_duck(3),

@@ -151,3 +151,78 @@ def hash64(col: Column) -> Column:
     """Portable 60-bit hash from md5 hex (same value in DuckDB via
     CAST(CONCAT('0x', substr(md5(x),1,15)) AS BIGINT))."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1):
+    scraped/boilerplate documents repeat themselves, and the repetition
+    fractions are the standard filter features a training-data pipeline
+    cuts on.
+
+    Per document:
+
+    * ``n_lines``              — non-empty trimmed lines
+    * ``dup_line_frac``        — fraction of lines that are repeats of an
+                                 earlier line
+    * ``dup_line_char_frac``   — fraction of line characters inside those
+                                 repeated occurrences
+    * ``top_bigram``           — most frequent lowercase word 2-gram
+                                 (ties broken by the lexicographically
+                                 larger bigram; NULL when < 2 words)
+    * ``top_bigram_frac``      — fraction of word characters covered by
+                                 occurrences of that bigram
+
+    Scale shape: the line-level fractions are pure array expressions
+    (three ``aggregate`` higher-order sums per doc — constant count, not
+    the per-bit fan-out pattern dedup.py kernelized) evaluated map-side
+    with NO shuffle. Only the bigram mode needs one: explode_outer →
+    partial-aggregated groupBy on (doc, bigram) → per-doc row_number —
+    both keyed by doc_id, so skew is bounded by document length, never by
+    corpus-wide token frequency. Matches the DuckDB oracle bit-for-bit
+    (driver row ``doc_repetition_stats``)."""
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    lines = F.expr(
+        f"filter(transform(split({text_col}, '\\n'), x -> trim(x)), x -> length(x) > 0)"
+    )
+    chars = lambda arr: F.coalesce(  # noqa: E731 — local sum-of-lengths helper
+        F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)),
+        F.lit(0).cast("long"),
+    )
+    words = F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda w: F.length(w) > 0
+    )
+    n_w = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(n_w - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n_w - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_distinct"),
+        chars(lines).alias("line_chars"),
+        chars(F.array_distinct(lines)).alias("d_chars"),
+        chars(words).alias("word_chars"),
+        F.explode_outer(bigrams).alias("bigram"),
+    )
+    carried = ["n_lines", "n_distinct", "line_chars", "d_chars", "word_chars"]
+    cnts = base.groupBy("doc_id", *carried, "bigram").agg(
+        F.count("bigram").alias("cnt")
+    )
+    rnk = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.desc("bigram"))
+    top = cnts.withColumn("rnk", F.row_number().over(rnk)).where(F.col("rnk") == 1)
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return top.select(
+        "doc_id",
+        "n_lines",
+        F.round(dbl(F.col("n_lines") - F.col("n_distinct")) / F.greatest("n_lines", F.lit(1)), 6).alias("dup_line_frac"),
+        F.round(dbl(F.col("line_chars") - F.col("d_chars")) / F.greatest("line_chars", F.lit(1)), 6).alias("dup_line_char_frac"),
+        F.col("bigram").alias("top_bigram"),
+        F.coalesce(
+            F.round(F.col("cnt") * dbl(F.length("bigram") - 1) / F.greatest("word_chars", F.lit(1)), 6),
+            F.lit(0.0),
+        ).alias("top_bigram_frac"),
+    )

@@ -364,3 +364,43 @@ def test_simhash_kernel_matches_expression_path(spark):
     kern = {r.doc_id: r.simhash for r in DD.simhash_kernel_frame(docs, 64).collect()}
     expr = {r.doc_id: r.simhash for r in DD.simhash_frame(docs, 64).collect()}
     assert kern == expr and len(kern) > 0
+
+
+def test_repetition_stats_handcrafted(spark):
+    """Gopher repetition signals on handcrafted docs — covers the duplicate-
+    line branch the synthetic corpus never exercises (its docs have no
+    repeated lines) and the <2-words NULL-bigram edge."""
+    from osm_public_space_mapper_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, 'spam ham' repeated twice (3 + once blank-padded)
+            ("a", "spam ham\nunique line one\nspam ham\n\n  \nlast"),
+            ("b", "one two one two one two"),  # top bigram 'two one'? ties
+            ("c", "word"),                      # single word → NULL bigram
+            ("d", ""),                          # empty doc
+        ],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in repetition_stats(docs).collect()}
+
+    a = got["a"]
+    # lines after trim/drop-empty: ['spam ham','unique line one','spam ham','last']
+    assert a["n_lines"] == 4
+    assert a["dup_line_frac"] == round(1 / 4, 6)
+    # chars: 8+15+8+4 = 35 total, distinct = 27 → 8/35
+    assert a["dup_line_char_frac"] == round(8 / 35, 6)
+
+    b = got["b"]
+    assert b["n_lines"] == 1 and b["dup_line_frac"] == 0.0
+    # bigrams: 'one two' x3, 'two one' x2 → top is 'one two' (higher count)
+    assert b["top_bigram"] == "one two"
+    # word chars = 6*3 = 18; each occurrence covers len('one two')-1 = 6
+    # word chars → cnt * 6 / 18 = 1.0 (overlapping occurrences may exceed 1)
+    assert b["top_bigram_frac"] == 1.0
+
+    c = got["c"]
+    assert c["top_bigram"] is None and c["top_bigram_frac"] == 0.0
+
+    d = got["d"]
+    assert d["n_lines"] == 0 and d["dup_line_frac"] == 0.0 and d["dup_line_char_frac"] == 0.0

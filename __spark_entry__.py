@@ -731,6 +731,96 @@ LEFT JOIN (SELECT doc_id, bigram, cnt FROM ranked WHERE rnk = 1) r USING (doc_id
 """
 
 
+def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style keep/drop gate with named failing rules."""
+    return TXT.quality_gate(_t(spark, sf_dir, "documents"))
+
+
+_QUALITY_GATE_DUCK = f"""
+WITH rep AS ({_REPETITION_DUCK}),
+s AS (
+  SELECT doc_id,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_words,
+    ROUND(CAST(length(list_aggregate(regexp_extract_all(lower(text), '[a-z]+'), 'string_agg', '')) AS DOUBLE)
+          / GREATEST(len(regexp_extract_all(lower(text), '[a-z]+')), 1), 6) AS mwl,
+    ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          / GREATEST(length(text), 1), 6) AS alpha
+  FROM documents
+)
+-- NB: DuckDB's array_to_string returns NULL (not '') on an empty list, so
+-- the zero-failures case must be COALESCEd to match Spark's array_join.
+SELECT s.doc_id, s.n_words,
+  COALESCE(array_to_string(list_filter([
+    CASE WHEN s.alpha < 0.6 THEN 'alpha' END,
+    CASE WHEN rep.dup_line_frac > 0.3 THEN 'dup_lines' END,
+    CASE WHEN s.mwl < 3.0 OR s.mwl > 10.0 THEN 'mean_word_len' END,
+    CASE WHEN s.n_words < 50 OR s.n_words > 100000 THEN 'n_words' END,
+    CASE WHEN rep.top_bigram_frac > 0.2 THEN 'top_bigram' END
+  ], x -> x IS NOT NULL), ','), '') AS reasons,
+  length(COALESCE(array_to_string(list_filter([
+    CASE WHEN s.alpha < 0.6 THEN 'alpha' END,
+    CASE WHEN rep.dup_line_frac > 0.3 THEN 'dup_lines' END,
+    CASE WHEN s.mwl < 3.0 OR s.mwl > 10.0 THEN 'mean_word_len' END,
+    CASE WHEN s.n_words < 50 OR s.n_words > 100000 THEN 'n_words' END,
+    CASE WHEN rep.top_bigram_frac > 0.2 THEN 'top_bigram' END
+  ], x -> x IS NOT NULL), ','), '')) = 0 AS keep
+FROM s JOIN rep USING (doc_id)
+"""
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level duplicate line removal."""
+    return DD.corpus_line_dedup(_t(spark, sf_dir, "documents"))
+
+
+_LINE_DEDUP_DUCK = """
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> length(x) > 0)) AS BIGINT) AS n_lines,
+    string_split(text, chr(10)) AS parts
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, i - 1 AS line_no, trim(parts[i]) AS line
+  FROM base, LATERAL unnest(generate_series(1, len(parts))) AS u(i)
+  WHERE length(trim(parts[i])) > 0
+),
+marked AS (
+  SELECT doc_id, line_no, line,
+         COUNT(*) OVER (PARTITION BY line) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS occ
+  FROM ex
+),
+kept AS (SELECT * FROM marked WHERE cnt < 2 OR occ = 1),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(line, chr(10) ORDER BY line_no) AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_lines,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       b.n_lines - COALESCE(r.n_kept, 0) AS n_removed,
+       COALESCE(r.kept_text, '') AS kept_text
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def _q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 token frequencies (vocabulary head)."""
+    return TXT.corpus_token_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+_TOKEN_TOPK_DUCK = """
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents
+),
+c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+r AS (SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank FROM c)
+SELECT token, cnt, CAST(rank AS INT) AS rank FROM r WHERE rank <= 50
+"""
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS rolling-hash scheme) per document —
     count + min/max fingerprint per doc keeps the row count bounded while
@@ -1270,6 +1360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fingerprints": _q_winnow,
         "doc_word_stats": _q_word_stats,
         "doc_repetition_stats": _q_repetition,
+        "doc_quality_gate": _q_quality_gate,
+        "corpus_line_dedup": _q_line_dedup,
+        "corpus_token_topk": _q_token_topk,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_jaccard,
         "minhash_signatures": _q_minhash_sig,
@@ -1315,6 +1408,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow_fingerprints": _WINNOW_DUCK,
         "doc_word_stats": _WORD_STATS_DUCK,
         "doc_repetition_stats": _REPETITION_DUCK,
+        "doc_quality_gate": _QUALITY_GATE_DUCK,
+        "corpus_line_dedup": _LINE_DEDUP_DUCK,
+        "corpus_token_topk": _TOKEN_TOPK_DUCK,
         "exact_dedup": _DEDUP_DUCK,
         "ngram_jaccard_pairs": _jaccard_sql_duck(3, 0.3),
         "minhash_signatures": _minhash_sql_duck(3),

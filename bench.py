@@ -169,6 +169,18 @@ def run_full() -> dict:
     joins.pip_join(sample, layer).count()
     queries["pip_join_vector_10k"] = round(time.time() - t, 3)
 
+    # pure-Catalyst expression lane (streaming geofence twin): mask bit test
+    # in whole-stage codegen, subdivided masks pre-materialized as a static
+    # side (the streaming deployment shape)
+    from osm_public_space_mapper_spark.streaming.geofence import pip_join_expr
+
+    sub13 = joins.subdivide_tiles(tiles, 13).cache()
+    sub13.count()
+    t = time.time()
+    pip_join_expr(images, sub13).count()
+    queries["pip_join_expr"] = round(time.time() - t, 3)
+    sub13.unpersist()
+
     t = time.time()
     cents = joins.walkable_centroids(layer)
     joins.knn_join(images, cents, k=3, res=9, ring=2).count()
@@ -236,6 +248,8 @@ def run_full() -> dict:
         "embedding_topk",
         "ann_lsh_topk",
         "doc_quality",
+        "doc_repetition_stats",
+        "dup_clusters",
     ):
         t = time.time()
         qmap[name](spark, SF_DIR).count()

@@ -226,3 +226,79 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
             F.lit(0.0),
         ).alias("top_bigram_frac"),
     )
+
+
+def quality_gate(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    min_alpha: float = 0.6,
+    max_dup_line: float = 0.3,
+    max_top_bigram: float = 0.2,
+):
+    """Gopher-style document quality gate (Rae et al. 2021, §A1.1): the
+    keep/drop decision a training-data pipeline applies after computing the
+    per-doc signals, with the failing rules named so the cut is auditable.
+
+    Returns ``(doc_id, n_words, keep, reasons)`` — ``reasons`` is the
+    comma-joined, alphabetically-ordered set of failed rules (``alpha``,
+    ``dup_lines``, ``mean_word_len``, ``n_words``, ``top_bigram``), empty
+    string ⇒ ``keep = true``. Thresholds compare the ROUNDED (6 dp)
+    signals so engine and oracle agree bit-for-bit at rule boundaries.
+
+    Scale: the scalar signals are map-side expressions; the only shuffles
+    are repetition_stats' doc-keyed pair (see there) plus one doc_id join
+    that AQE coalesces onto the same partitioning."""
+    text = F.col(text_col)
+    rep = repetition_stats(df, id_col, text_col).select(
+        "doc_id", "dup_line_frac", "top_bigram_frac"
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        ws_token_count(text).cast("long").alias("n_words"),
+        F.round(mean_word_len(text), 6).alias("mwl"),
+        F.round(alpha_ratio(text), 6).alias("alpha"),
+    )
+    j = base.join(rep, "doc_id")
+    reasons = F.array_join(
+        F.filter(
+            F.array(
+                F.when(F.col("alpha") < min_alpha, F.lit("alpha")),
+                F.when(F.col("dup_line_frac") > max_dup_line, F.lit("dup_lines")),
+                F.when((F.col("mwl") < min_mwl) | (F.col("mwl") > max_mwl), F.lit("mean_word_len")),
+                F.when((F.col("n_words") < min_words) | (F.col("n_words") > max_words), F.lit("n_words")),
+                F.when(F.col("top_bigram_frac") > max_top_bigram, F.lit("top_bigram")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    return j.select(
+        "doc_id",
+        "n_words",
+        reasons.alias("reasons"),
+    ).withColumn("keep", F.length("reasons") == 0)
+
+
+def corpus_token_topk(df, k: int = 50, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-wide top-k token frequencies (the vocabulary head a pipeline
+    inspects for boilerplate/stopword drift). Lowercased ``[a-z0-9]+``
+    tokens; deterministic order (count DESC, token ASC) and rank.
+
+    Scale: explode is map-side; ONE partial-aggregated groupBy on token —
+    the hot head tokens are exactly what partial aggregation collapses —
+    then a global top-k via TakeOrdered (k rows to the driver plan, no full
+    sort materialized)."""
+    toks = df.select(
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), 0)).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    topk = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return topk.withColumn("rank", F.row_number().over(w))

@@ -688,3 +688,77 @@ def simhash_hamming_pairs(
         simhash64(documents, bits), "doc_id", "simhash",
         bits=bits, max_hamming=max_hamming, n_bands=n_bands, max_bucket=max_bucket,
     )
+
+
+def corpus_line_dedup(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """C4-style corpus-level duplicate line removal (Raffel et al. 2020,
+    §2.2 'we discarded all but one of any ... occurring more than once in
+    the data set', applied at line granularity — the standard web-corpus
+    boilerplate cut: nav bars, cookie banners, footers repeat VERBATIM
+    across millions of pages).
+
+    A trimmed non-empty line occurring ``>= min_count`` times corpus-wide
+    survives only at its first occurrence (minimum ``(doc_id, line_no)``);
+    rarer lines always survive. Returns one row per input document:
+    ``(doc_id, n_lines, n_kept, n_removed, kept_text)`` with ``kept_text``
+    the surviving trimmed lines re-joined by newline in original order
+    (docs whose every line was cut — or that had none — keep an empty
+    string, never NULL).
+
+    Scale shape: explode is map-side; the line-key groupBy is ONE
+    partial-aggregated shuffle whose hot keys are exactly the boilerplate
+    lines being hunted — partial aggregation collapses them map-side, so no
+    task ever holds a hot line's full occurrence list (the window-function
+    formulation would; see the skew note on ``_salted_blocks``). The
+    keeper join shuffles by line key, the rebuild by doc_id — both AQE
+    skew-splittable. Nothing is collected; line payloads cross the wire
+    once each way."""
+    text = F.col(text_col)
+    n_lines_expr = F.size(
+        F.expr(f"filter(transform(split({text_col}, '\\n'), x -> trim(x)), x -> length(x) > 0)")
+    ).cast("long")
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), n_lines_expr.alias("n_lines"), text.alias("_t")
+    )
+    ex = (
+        base.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("_t"), "\n")).alias("line_no", "raw"),
+        )
+        .select("doc_id", "line_no", F.trim("raw").alias("line"))
+        .where(F.length("line") > 0)
+    )
+    keys = ex.groupBy("line").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("doc_id", "line_no")).alias("keeper"),
+    )
+    kept = ex.join(keys, "line").where(
+        (F.col("cnt") < min_count)
+        | ((F.col("doc_id") == F.col("keeper.doc_id")) & (F.col("line_no") == F.col("keeper.line_no")))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )
+    return (
+        base.select("doc_id", "n_lines")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0).cast("long"))).alias("n_removed"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )

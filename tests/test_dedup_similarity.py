@@ -404,3 +404,72 @@ def test_repetition_stats_handcrafted(spark):
 
     d = got["d"]
     assert d["n_lines"] == 0 and d["dup_line_frac"] == 0.0 and d["dup_line_char_frac"] == 0.0
+
+
+def test_quality_gate_handcrafted(spark):
+    """Gate edge cases the synthetic corpus never hits: a doc failing
+    multiple rules (reasons alphabetical, comma-joined), a clean doc
+    (keep=True, reasons=''), and an empty doc."""
+    from osm_public_space_mapper_spark.functions.text import quality_gate
+
+    # 60 DISTINCT 5-letter words — repetition signals near zero, mwl = 5
+    clean = " ".join(f"w{chr(97 + i // 26)}{chr(97 + i % 26)}xy" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            ("ok", clean),
+            ("short", "tiny doc"),               # n_words fail only? alpha ok, mwl ok
+            ("bad", "!!! ??? ### " * 40),        # alpha + mean_word_len + n_words(?)
+            ("empty", ""),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in quality_gate(docs, min_words=10).collect()}
+
+    assert got["ok"]["keep"] is True and got["ok"]["reasons"] == ""
+    assert got["short"]["keep"] is False
+    assert "n_words" in got["short"]["reasons"]
+    bad = got["bad"]["reasons"].split(",")
+    assert bad == sorted(bad) and "alpha" in bad
+    assert got["empty"]["keep"] is False
+
+
+def test_corpus_line_dedup_handcrafted(spark):
+    """First occurrence of a corpus-repeated line survives (min (doc_id,
+    line_no)), rare lines always survive, an all-boilerplate doc rebuilds
+    to '' (not NULL), order inside a doc preserved."""
+    from osm_public_space_mapper_spark.operators.dedup import corpus_line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "cookie banner\nreal content A\ncookie banner"),
+            ("b", "cookie banner\nreal content B"),
+            ("c", "cookie banner"),
+            ("d", ""),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in corpus_line_dedup(docs).collect()}
+
+    a = got["a"]
+    # 'cookie banner' appears 4x corpus-wide; keeper is (a, 0)
+    assert a["n_lines"] == 3 and a["n_kept"] == 2 and a["n_removed"] == 1
+    assert a["kept_text"] == "cookie banner\nreal content A"
+    b = got["b"]
+    assert b["n_kept"] == 1 and b["kept_text"] == "real content B"
+    c = got["c"]
+    assert c["n_kept"] == 0 and c["kept_text"] == "" and c["n_removed"] == 1
+    d = got["d"]
+    assert d["n_lines"] == 0 and d["n_kept"] == 0 and d["kept_text"] == ""
+
+
+def test_corpus_token_topk_deterministic(spark):
+    """rank follows (cnt DESC, token ASC); ties broken alphabetically; k
+    truncates."""
+    from osm_public_space_mapper_spark.functions.text import corpus_token_topk
+
+    docs = spark.createDataFrame(
+        [("1", "b b b a a c"), ("2", "a c d")],
+        "doc_id string, text string",
+    )
+    rows = corpus_token_topk(docs, k=3).orderBy("rank").collect()
+    assert [(r.token, r.cnt, r.rank) for r in rows] == [("a", 3, 1), ("b", 3, 2), ("c", 2, 3)]

@@ -821,6 +821,113 @@ SELECT token, cnt, CAST(rank AS INT) AS rank FROM r WHERE rank <= 50
 """
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the SQL-expressible seed quantizer (train=False), so
+    the whole pipeline — assignment, within-cluster pairs, transitive
+    closure — is hash-checked against DuckDB (recursive CTE closure)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return DD.semantic_dedup(emb, threshold=0.95, n_lists=16, train=False)
+
+
+def _semantic_dedup_duck(threshold: float = 0.95, n_lists: int = 16) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+            f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+            f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+        )
+
+    return f"""
+WITH RECURSIVE cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id, embedding AS cemb
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_lists})
+),
+corpus_ranked AS (
+  SELECT e.vec_id, e.embedding, c.list_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({cos('e.embedding', 'c.cemb')}, 6) DESC, c.list_id ASC
+         ) AS rk
+  FROM embeddings e CROSS JOIN cents c
+),
+corpus_assign AS (SELECT vec_id, embedding, list_id FROM corpus_ranked WHERE rk = 1),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM corpus_assign a JOIN corpus_assign b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE ROUND({cos('a.embedding', 'b.embedding')}, 6) >= {threshold}
+),
+sym AS (SELECT vec_a AS s, vec_b AS d FROM pairs UNION ALL SELECT vec_b, vec_a FROM pairs),
+reach AS (
+  SELECT s AS node, d AS other FROM sym
+  UNION
+  SELECT r.node, s.d FROM reach r JOIN sym s ON s.s = r.other WHERE s.d <> r.node
+),
+comp AS (SELECT node, LEAST(node, MIN(other)) AS component FROM reach GROUP BY node)
+SELECT ca.vec_id, ca.list_id,
+       CAST(COALESCE(c.component, ca.vec_id) AS BIGINT) AS cluster_id,
+       COALESCE(c.component, ca.vec_id) = ca.vec_id AS keep
+FROM corpus_assign ca LEFT JOIN comp c ON c.node = ca.vec_id"""
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with per-class audit counts (pure Catalyst regex)."""
+    from osm_public_space_mapper_spark.functions.pii import pii_scrub
+
+    return pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+def _q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val/test split."""
+    from osm_public_space_mapper_spark.operators.curation import deterministic_split
+
+    return deterministic_split(_t(spark, sf_dir, "documents"))
+
+
+def _q_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (data mixing), hash-ranked."""
+    from osm_public_space_mapper_spark.operators.curation import source_quota_sample
+
+    return source_quota_sample(_t(spark, sf_dir, "documents"), quota=100)
+
+
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate word-8-gram span coverage per document."""
+    from osm_public_space_mapper_spark.operators.curation import dup_span_stats
+
+    return dup_span_stats(_t(spark, sf_dir, "documents"), n=8)
+
+
+def _pii_duck() -> str:
+    from osm_public_space_mapper_spark.functions.pii import pii_scrub_duckdb_sql
+
+    return pii_scrub_duckdb_sql()
+
+
+def _split_duck() -> str:
+    from osm_public_space_mapper_spark.operators.curation import (
+        deterministic_split_duckdb_sql,
+    )
+
+    return deterministic_split_duckdb_sql()
+
+
+def _quota_duck() -> str:
+    from osm_public_space_mapper_spark.operators.curation import (
+        source_quota_sample_duckdb_sql,
+    )
+
+    return source_quota_sample_duckdb_sql(quota=100)
+
+
+def _dup_spans_duck() -> str:
+    from osm_public_space_mapper_spark.operators.curation import (
+        dup_span_stats_duckdb_sql,
+    )
+
+    return dup_span_stats_duckdb_sql(n=8)
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS rolling-hash scheme) per document —
     count + min/max fingerprint per doc keeps the row count bounded while
@@ -1363,6 +1470,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_gate": _q_quality_gate,
         "corpus_line_dedup": _q_line_dedup,
         "corpus_token_topk": _q_token_topk,
+        "pii_scrub": _q_pii_scrub,
+        "deterministic_split": _q_split,
+        "source_quota_sample": _q_quota,
+        "dup_span_stats": _q_dup_spans,
+        "semantic_dedup": _q_semantic_dedup,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_jaccard,
         "minhash_signatures": _q_minhash_sig,
@@ -1411,6 +1523,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_gate": _QUALITY_GATE_DUCK,
         "corpus_line_dedup": _LINE_DEDUP_DUCK,
         "corpus_token_topk": _TOKEN_TOPK_DUCK,
+        "pii_scrub": _pii_duck(),
+        "deterministic_split": _split_duck(),
+        "source_quota_sample": _quota_duck(),
+        "dup_span_stats": _dup_spans_duck(),
+        "semantic_dedup": _semantic_dedup_duck(),
         "exact_dedup": _DEDUP_DUCK,
         "ngram_jaccard_pairs": _jaccard_sql_duck(3, 0.3),
         "minhash_signatures": _minhash_sql_duck(3),

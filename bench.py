@@ -250,6 +250,8 @@ def run_full() -> dict:
         "doc_quality",
         "doc_repetition_stats",
         "dup_clusters",
+        "pii_scrub",
+        "dup_span_stats",
     ):
         t = time.time()
         qmap[name](spark, SF_DIR).count()

@@ -762,3 +762,94 @@ def corpus_line_dedup(
             F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    train: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means partition the
+    embedding space, then within each cluster drop all but one of every
+    group of vectors with pairwise cosine ≥ threshold. The design tradeoff
+    vs exact `embedding_dups` is explicit: pairs straddling a k-means
+    boundary are MISSED, in exchange for pair search that never leaves a
+    cluster — the standard recipe for semantic dedup at 10^9+ vectors.
+
+    Returns one row per input vector: ``(vec_id, list_id, cluster_id,
+    keep)`` — ``cluster_id`` is the minimum vec_id of the vector's
+    semantic-dup group (its own id when it has no dups) via the same
+    large-star/small-star connected components as `dup_clusters`, and
+    ``keep`` is true exactly for the canonical minimum of each group.
+
+    Scale shape: assignment is the broadcast-centroid Arrow kernel shared
+    with `ivf_topk` (map-only). Within-cluster scoring is ONE matmul per
+    cluster in applyInPandas, so ``n_lists`` is the task-size dial — size
+    it ≈ N/10^4 as SemDeDup itself does (its LAION runs use tens of
+    thousands of clusters); the per-cluster matmul is then bounded
+    independent of N. Components iterate only over dup-pair edges (a tiny
+    subset). Nothing is collected but the (bounded) k-means sample.
+
+    Determinism: assignment ranks by ROUND(cosine, 6) with list-id
+    tie-break (shared `_ivf_assign_series` kernel); pair threshold compares
+    ROUND(cosine, 6) ≥ threshold; both sides of ties in the component id
+    are resolved by minimum vec_id — reruns and repartitionings produce
+    identical keep sets."""
+    import numpy as np
+    import pandas as pd
+
+    from .graph import connected_components
+    from .similarity import corpus_list_udf, train_ivf_centroids
+
+    from .similarity import seed_ivf_centroids
+
+    if centroids is None:
+        centroids = (
+            train_ivf_centroids(embeddings, n_lists, sample, iters, seed)
+            if train
+            else seed_ivf_centroids(embeddings, n_lists)
+        )
+
+    corpus = embeddings.select("vec_id", "embedding").withColumn(
+        "list_id", corpus_list_udf(centroids)(F.col("embedding"))
+    )
+
+    thr = float(threshold)
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                              "vec_b": pd.Series(dtype="int64")})
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        m /= norms
+        cos = np.round(m @ m.T, 6)
+        ia, ib = np.where(np.triu(cos >= thr, k=1))
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_a": lo.astype("int64"), "vec_b": hi.astype("int64")})
+
+    pairs = corpus.groupBy("list_id").applyInPandas(
+        _pairs, "vec_a long, vec_b long"
+    )
+    comp = connected_components(pairs, "vec_a", "vec_b").withColumnRenamed(
+        "node", "vec_id"
+    )
+    return (
+        corpus.select("vec_id", "list_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            "list_id",
+            F.coalesce("component", F.col("vec_id")).cast("long").alias("cluster_id"),
+            (F.coalesce("component", F.col("vec_id")) == F.col("vec_id")).alias("keep"),
+        )
+    )

@@ -328,3 +328,17 @@ def ivf_topk_indexed(
     ).dropDuplicates(["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def corpus_list_udf(cents_list: list[list[float]]):
+    """Arrow UDF assigning each embedding its nearest-centroid list id —
+    the shared single-probe assignment kernel, exported as a factory so
+    other operators (semantic_dedup) bind their centroids to it."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.IntegerType())
+    def corpus_list(col: pd.Series) -> pd.Series:
+        return _ivf_assign_series(cents_list, col, 1).map(lambda a: int(a[0]))
+
+    return corpus_list

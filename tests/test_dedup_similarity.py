@@ -473,3 +473,67 @@ def test_corpus_token_topk_deterministic(spark):
     )
     rows = corpus_token_topk(docs, k=3).orderBy("rank").collect()
     assert [(r.token, r.cnt, r.rank) for r in rows] == [("a", 3, 1), ("b", 3, 2), ("c", 2, 3)]
+
+
+def test_semantic_dedup_matches_numpy(spark):
+    """semantic_dedup vs a from-first-principles numpy replica (same
+    centroid assignment semantics: round-6 cosine, stable tie-break; same
+    within-cluster threshold; union-find components with min-id canon)."""
+    import numpy as np
+
+    from osm_public_space_mapper_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(12, 16))
+    rows, vid = [], 0
+    for b in base:
+        # 2-5 near-copies of each base vector + some lone vectors
+        for _ in range(int(rng.integers(2, 6))):
+            v = b + rng.normal(scale=0.01, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(10):
+        rows.append((vid, [float(x) for x in rng.normal(size=16)]))
+        vid += 1
+
+    cents = [[float(x) for x in c] for c in rng.normal(size=(4, 16))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.list_id, r.cluster_id, r.keep)
+           for r in semantic_dedup(df, threshold=0.98, centroids=cents).collect()}
+
+    # numpy replica
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = np.array([r[0] for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    c = np.asarray(cents)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    assign = np.argsort(-np.round(mn @ cn.T, 6), axis=1, kind="stable")[:, 0]
+
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for lid in set(assign.tolist()):
+        sel = np.where(assign == lid)[0]
+        sub = mn[sel]
+        cos = np.round(sub @ sub.T, 6)
+        for i in range(len(sel)):
+            for j in range(i + 1, len(sel)):
+                if cos[i, j] >= 0.98:
+                    a, b = find(int(ids[sel[i]])), find(int(ids[sel[j]]))
+                    if a != b:
+                        parent[max(a, b)] = min(a, b)
+
+    want = {int(i): (int(assign[k]), find(int(i)), find(int(i)) == int(i))
+            for k, i in enumerate(ids)}
+    assert got == want
+    # sanity: dedup actually happened, and every group kept exactly one
+    assert sum(1 for v in got.values() if not v[2]) > 10
+    roots = {}
+    for vec, (_, cid, keep) in got.items():
+        roots.setdefault(cid, []).append(keep)
+    assert all(sum(ks) == 1 for ks in roots.values())

@@ -179,7 +179,7 @@ def run_full() -> dict:
     t = time.time()
     pip_join_expr(images, sub13).count()
     queries["pip_join_expr"] = round(time.time() - t, 3)
-    sub13.unpersist()
+    sub13.unpersist(blocking=True)  # don't let async eviction bleed into the next row
 
     t = time.time()
     cents = joins.walkable_centroids(layer)

@@ -525,3 +525,44 @@ def test_geofence_stream_matches_batch(spark, fixture_layer, tmp_path):
         for r in pip_join_expr(spark.read.parquet(str(src / "a"), str(src / "b")), sub).collect()
     }
     assert got == expected and expected
+
+
+def test_pii_scrub_streams_unchanged(spark, tmp_path):
+    """pii_scrub is a stateless whole-stage-codegen projection, so the SAME
+    operator runs under Structured Streaming with no state store and no
+    watermark — an availableNow replay must equal the batch output exactly
+    (the deployment shape for scrub-on-ingest)."""
+    import pandas as pd
+
+    from osm_public_space_mapper_spark.functions.pii import pii_scrub
+
+    rows = [
+        (1, "mail me at a@b.io or 10.1.2.3"),
+        (2, "call 415-555-1234; ssn 123-45-6789"),
+        (3, "clean row"),
+        (4, ""),
+    ]
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs_in"
+    os.makedirs(src)
+    spark.createDataFrame(rows[:2], schema).write.parquet(str(src / "a"))
+    spark.createDataFrame(rows[2:], schema).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = pii_scrub(stream)
+    q = (
+        out.writeStream.format("memory").queryName("pii_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM pii_stream").collect())
+    want = sorted(
+        tuple(r) for r in pii_scrub(spark.createDataFrame(rows, schema)).collect()
+    )
+    assert got == want and len(got) == 4

@@ -821,6 +821,63 @@ SELECT token, cnt, CAST(rank AS INT) AS rank FROM r WHERE rank <= 50
 """
 
 
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click picks up the user's most recent
+    purchase value (right side pre-aggregated to one row per (user, ts)
+    for deterministic ties)."""
+    from osm_public_space_mapper_spark.operators.timeseries import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(clicks, purchases, by="user_id", ts="ts", value_cols=("value",))
+    return out.select("event_id", "user_id", "ts", "asof_value", "asof_ts")
+
+
+_ASOF_DUCK = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, MAX(value) AS value FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts, r.value AS asof_value, r.ts AS asof_ts
+FROM clicks l ASOF LEFT JOIN purchases r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def _q_chunk_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk token offsets (distributed prefix sum)."""
+    from osm_public_space_mapper_spark.operators.timeseries import concat_chunk_offsets
+
+    return concat_chunk_offsets(_t(spark, sf_dir, "documents"), chunk_len=2048)
+
+
+_CHUNK_OFFSETS_DUCK = """
+WITH t AS (
+  SELECT doc_id,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_start, tok_start + n_tokens AS tok_end,
+  CAST(FLOOR(tok_start / 2048) AS BIGINT) AS chunk_first,
+  CAST(FLOOR(GREATEST(tok_start + n_tokens - 1, tok_start) / 2048) AS BIGINT) AS chunk_last
+FROM c
+"""
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the SQL-expressible seed quantizer (train=False), so
     the whole pipeline — assignment, within-cluster pairs, transitive
@@ -1475,6 +1532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota_sample": _q_quota,
         "dup_span_stats": _q_dup_spans,
         "semantic_dedup": _q_semantic_dedup,
+        "asof_join_events": _q_asof,
+        "concat_chunk_offsets": _q_chunk_offsets,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_jaccard,
         "minhash_signatures": _q_minhash_sig,
@@ -1528,6 +1587,8 @@ def oracle_sql() -> dict[str, str]:
         "source_quota_sample": _quota_duck(),
         "dup_span_stats": _dup_spans_duck(),
         "semantic_dedup": _semantic_dedup_duck(),
+        "asof_join_events": _ASOF_DUCK,
+        "concat_chunk_offsets": _CHUNK_OFFSETS_DUCK,
         "exact_dedup": _DEDUP_DUCK,
         "ngram_jaccard_pairs": _jaccard_sql_duck(3, 0.3),
         "minhash_signatures": _minhash_sql_duck(3),

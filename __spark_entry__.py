@@ -878,6 +878,140 @@ FROM c
 """
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: purchases landing inside a 10-minute
+    attribution window after any click by the same user (half-open
+    [click_ts, click_ts+600s)).  DuckDB oracles the same pair set with the
+    naive theta join the operator exists to avoid."""
+    from osm_public_space_mapper_spark.operators.timeseries import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id", "ts"
+    )
+    intervals = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("i_event_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 600 SECONDS")).alias("end"),
+    )
+    out = range_join(points, intervals, by=("user_id",), bucket_seconds=600.0)
+    return out.select(
+        "p_event_id",
+        "i_event_id",
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("start")).cast("long").alias("lag_seconds"),
+    )
+
+
+_RANGE_JOIN_DUCK = """
+WITH pts AS (
+  SELECT event_id AS p_event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+ivs AS (
+  SELECT event_id AS i_event_id, user_id, ts AS istart,
+         ts + INTERVAL 600 SECOND AS iend
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.p_event_id, i.i_event_id, p.user_id,
+       CAST(FLOOR(epoch(p.ts)) - FLOOR(epoch(i.istart)) AS BIGINT) AS lag_seconds
+FROM pts p JOIN ivs i
+  ON p.user_id = i.user_id AND p.ts >= i.istart AND p.ts < i.iend
+"""
+
+
+def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join: click sessions [ts, ts+600s) x error windows
+    [ts, ts+900s) of the same user that intersect, with the overlap length."""
+    from osm_public_space_mapper_spark.operators.timeseries import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 600 SECONDS")).alias("end"),
+    )
+    b = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 900 SECONDS")).alias("end"),
+    )
+    out = interval_overlap_join(a, b, by=("user_id",), bucket_seconds=900.0)
+    return out.select(
+        F.col("a_id_a").alias("a_id"),
+        F.col("b_id_b").alias("b_id"),
+        "user_id",
+        (
+            F.unix_timestamp(F.least("end_a", "end_b"))
+            - F.unix_timestamp(F.greatest("start_a", "start_b"))
+        ).cast("long").alias("overlap_seconds"),
+    )
+
+
+_INTERVAL_OVERLAP_DUCK = """
+WITH a AS (
+  SELECT event_id AS a_id, user_id, ts AS astart, ts + INTERVAL 600 SECOND AS aend
+  FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT event_id AS b_id, user_id, ts AS bstart, ts + INTERVAL 900 SECOND AS bend
+  FROM events WHERE event_type = 'error'
+)
+SELECT a.a_id, b.b_id, a.user_id,
+       CAST(FLOOR(epoch(LEAST(a.aend, b.bend))) - FLOOR(epoch(GREATEST(a.astart, b.bstart))) AS BIGINT)
+         AS overlap_seconds
+FROM a JOIN b
+  ON a.user_id = b.user_id AND a.astart < b.bend AND b.bstart < a.aend
+"""
+
+
+def _q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style 6-hour rollup per event_type with gap-fill:
+    zero-filled row counts and LOCF on the bucket max (max picks one exact
+    input double, so both engines agree bit-for-bit)."""
+    from osm_public_space_mapper_spark.operators.timeseries import time_bucket_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return time_bucket_rollup(
+        ev,
+        21600,
+        by=("event_type",),
+        aggs={"n_rows": F.count(F.lit(1)), "max_value": F.max("value")},
+        gapfill=True,
+        locf=("max_value",),
+        fill_zero=("n_rows",),
+    )
+
+
+_TIME_BUCKET_ROLLUP_DUCK = """
+WITH rolled AS (
+  SELECT event_type,
+         CAST(FLOOR(FLOOR(epoch(ts)) / 21600) * 21600 AS BIGINT) AS bucket_start,
+         COUNT(*) AS n_rows, MAX(value) AS max_value
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi FROM rolled GROUP BY 1
+),
+skel AS (
+  SELECT event_type, UNNEST(generate_series(lo, hi, 21600)) AS bucket_start FROM spans
+),
+j AS (
+  SELECT s.event_type, s.bucket_start, r.n_rows, r.max_value
+  FROM skel s LEFT JOIN rolled r USING (event_type, bucket_start)
+)
+SELECT event_type, bucket_start,
+       CAST(COALESCE(n_rows, 0) AS BIGINT) AS n_rows,
+       LAST_VALUE(max_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS max_value
+FROM j
+"""
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the SQL-expressible seed quantizer (train=False), so
     the whole pipeline — assignment, within-cluster pairs, transitive
@@ -1533,6 +1667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": _q_dup_spans,
         "semantic_dedup": _q_semantic_dedup,
         "asof_join_events": _q_asof,
+        "range_join_events": _q_range_join,
+        "interval_overlap_events": _q_interval_overlap,
+        "time_bucket_rollup_events": _q_time_bucket_rollup,
         "concat_chunk_offsets": _q_chunk_offsets,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_jaccard,
@@ -1588,6 +1725,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats": _dup_spans_duck(),
         "semantic_dedup": _semantic_dedup_duck(),
         "asof_join_events": _ASOF_DUCK,
+        "range_join_events": _RANGE_JOIN_DUCK,
+        "interval_overlap_events": _INTERVAL_OVERLAP_DUCK,
+        "time_bucket_rollup_events": _TIME_BUCKET_ROLLUP_DUCK,
         "concat_chunk_offsets": _CHUNK_OFFSETS_DUCK,
         "exact_dedup": _DEDUP_DUCK,
         "ngram_jaccard_pairs": _jaccard_sql_duck(3, 0.3),

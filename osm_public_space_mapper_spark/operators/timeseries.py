@@ -1,13 +1,17 @@
 """Time-series / ordering operators Spark lacks as built-ins, re-expressed
 Spark-first: an as-of join (union + running-window formulation — never a
-range-explosion theta join) and a distributed prefix sum that turns a
-document corpus into GPT-style concat-then-chunk token offsets without a
-single-task global window.
+range-explosion theta join), a bucketed range join and interval-overlap
+join (equi-join on time buckets + residual predicate — Catalyst plans the
+naive ``t BETWEEN start AND end`` condition as BroadcastNestedLoopJoin,
+which is O(|L|*|R|) whenever the interval side outgrows a broadcast), a
+time-bucket rollup with gap-fill + LOCF (the hypertable rollup shape), and
+a distributed prefix sum that turns a document corpus into GPT-style
+concat-then-chunk token offsets without a single-task global window.
 
 Reference scope note: the reference engine has no temporal surface; these
 belong to the training-data-pipeline family the brief adds alongside
-SURVEY.md §2 (as-of join is the brief's own example of an operator Spark
-lacks).
+SURVEY.md §2 (as-of join and range join are the brief's own examples of
+operators Spark lacks).
 """
 
 from __future__ import annotations
@@ -184,3 +188,200 @@ def concat_chunk_offsets(
             F.greatest(F.col("tok_end") - 1, F.col("tok_start")) / chunk_len
         ).cast("long").alias("chunk_last"),
     )
+
+
+def _bucket_of(ts_col, bucket_us):
+    """Time-bucket ordinal of a timestamp column (microsecond floor).
+    Casts through TIMESTAMP so TIMESTAMP_NTZ inputs (parquet default)
+    work; the cast applies uniformly to both join sides, so bucket
+    alignment is consistent regardless of session timezone."""
+    return F.floor(F.unix_micros(ts_col.cast("timestamp")) / F.lit(bucket_us)).cast("long")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    by: tuple[str, ...] = (),
+    bucket_seconds: float = 3600.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (point-in-interval) join: every point row pairs with every
+    interval row sharing its ``by`` key whose half-open window
+    ``[start, end)`` contains ``ts``.  The canonical temporal join Spark
+    lacks as a built-in (its range-join machinery is Databricks-only).
+
+    HOW, Spark-first: a naive ``p.ts >= i.start AND p.ts < i.end``
+    condition (with or without the key equality, once the interval side
+    outgrows a broadcast) degenerates to a nested-loop/cartesian plan.
+    Instead both sides are *banded*: each interval explodes into the
+    time-bucket ordinals its window spans (``sequence(floor(start/B),
+    floor((end-1us)/B))``), each point maps to exactly ONE bucket, and the
+    pair set is recovered by a plain shuffled hash equi-join on
+    ``(by..., bucket)`` plus the residual containment predicate.  Because
+    a point owns a single bucket, no pair can be produced twice — no
+    dedup pass.  Cost is one shuffle per side; the interval side grows by
+    ``ceil(window_len / bucket_seconds)`` rows, so choose
+    ``bucket_seconds`` near the typical window length (explode factor
+    ~1-2).  A mega-hot (key, bucket) cell is inherent output-size skew;
+    AQE's skew-join split handles the task sizing.
+
+    ``how='left'`` additionally keeps unmatched points with NULL interval
+    columns (via a key-bucket anti-join — no extra scan of the pair set).
+    The miss branch groups by the full point row, so byte-identical
+    duplicate point rows collapse to one miss row — give points a unique
+    id column when exact multiplicity of unmatched rows matters.
+
+    Column contract: point and interval column names must be disjoint
+    except the ``by`` keys (interval columns pass through under their own
+    names)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    bucket_us = int(bucket_seconds * 1_000_000)
+    ivs = intervals.where(F.col(end) > F.col(start))
+    iv_cols = [c for c in intervals.columns if c not in by]
+    banded = ivs.select(
+        *by,
+        *iv_cols,
+        F.explode(
+            F.sequence(
+                _bucket_of(F.col(start), bucket_us),
+                _bucket_of(F.col(end).cast("timestamp") - F.expr("INTERVAL 1 MICROSECOND"), bucket_us),
+            )
+        ).alias("_b"),
+    )
+    pts = points.withColumn("_b", _bucket_of(F.col(ts), bucket_us))
+    keys = [*by, "_b"]
+    contained = (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))
+    inner = pts.join(banded, keys, "inner").where(contained).drop("_b")
+    if how == "inner":
+        return inner
+    # left: points whose (key, bucket) cell matched no *containing* interval.
+    # Re-checking containment inside the anti-join condition would need a
+    # theta anti-join; instead left-join on the cell and aggregate "any
+    # containing" per point — still one equi-shuffle, no nested loop.
+    flagged = pts.join(banded, keys, "left").withColumn(
+        "_hit", contained & F.col(start).isNotNull()
+    )
+    pt_cols = [c for c in points.columns]
+    misses = (
+        flagged.groupBy(*pt_cols)
+        .agg(F.max(F.col("_hit").cast("int")).alias("_any"))
+        .where((F.col("_any").isNull()) | (F.col("_any") == 0))
+        .drop("_any")
+        .select(*pt_cols, *[F.lit(None).cast(banded.schema[c].dataType).alias(c) for c in iv_cols])
+    )
+    return inner.select(*pt_cols, *iv_cols).unionByName(misses)
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    by: tuple[str, ...] = (),
+    start: str = "start",
+    end: str = "end",
+    bucket_seconds: float = 3600.0,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """Interval x interval overlap join: pairs ``(a, b)`` sharing a ``by``
+    key whose half-open windows intersect (``a.start < b.end AND b.start <
+    a.end``).
+
+    HOW, Spark-first: both sides band into bucket ordinals (as in
+    :func:`range_join`) and equi-join on ``(by..., bucket)``.  An
+    overlapping pair co-occurs in every bucket their windows share, so the
+    join would emit duplicates; they are eliminated *declaratively* — a
+    pair is kept only in the bucket containing the LATER of the two starts
+    (``bucket == greatest(bucket(a.start), bucket(b.start))``), which is
+    provably within both bands whenever the windows overlap — no
+    ``dropDuplicates`` shuffle.  Non-key columns are renamed with
+    ``suffixes``."""
+    bucket_us = int(bucket_seconds * 1_000_000)
+    sa, sb = suffixes
+
+    def _band(df: DataFrame, suffix: str) -> DataFrame:
+        df = df.where(F.col(end) > F.col(start))
+        renamed = df.select(
+            *by,
+            *[F.col(c).alias(f"{c}{suffix}") for c in df.columns if c not in by],
+        )
+        s, e = f"{start}{suffix}", f"{end}{suffix}"
+        return renamed.withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    _bucket_of(F.col(s), bucket_us),
+                    _bucket_of(
+                        F.col(e).cast("timestamp") - F.expr("INTERVAL 1 MICROSECOND"),
+                        bucket_us,
+                    ),
+                )
+            ),
+        )
+
+    la, lb = _band(a, sa), _band(b, sb)
+    overlap = (F.col(f"{start}{sa}") < F.col(f"{end}{sb}")) & (
+        F.col(f"{start}{sb}") < F.col(f"{end}{sa}")
+    )
+    owner = F.col("_b") == F.greatest(
+        _bucket_of(F.col(f"{start}{sa}"), bucket_us),
+        _bucket_of(F.col(f"{start}{sb}"), bucket_us),
+    )
+    return la.join(lb, [*by, "_b"], "inner").where(overlap & owner).drop("_b")
+
+
+def time_bucket_rollup(
+    df: DataFrame,
+    bucket_seconds: int,
+    by: tuple[str, ...] = (),
+    ts: str = "ts",
+    aggs: dict | None = None,
+    gapfill: bool = False,
+    locf: tuple[str, ...] = (),
+    fill_zero: tuple[str, ...] = (),
+) -> DataFrame:
+    """Hypertable-style time-bucket rollup: group rows into fixed
+    ``bucket_seconds`` windows per ``by`` key and aggregate; optionally
+    *gap-fill* the per-key bucket range (every key emits one row per
+    bucket between its first and last observation) with last-observation-
+    carried-forward (``locf``) and/or zero-fill (``fill_zero``) on named
+    output columns — the TimescaleDB ``time_bucket_gapfill`` shape.
+
+    Output key is ``bucket_start`` (epoch seconds, long) — a plain long so
+    downstream joins and the DuckDB oracle agree bit-for-bit.
+
+    HOW, Spark-first: the rollup is ONE partial-aggregated groupBy (the
+    raw table never shuffles un-aggregated rows: map-side combine runs per
+    bucket).  Gap-fill never touches the raw table again — the per-key
+    (min, max) bucket span is a second tiny aggregate OVER THE ROLLED-UP
+    frame, exploded into a skeleton via ``sequence`` and left-joined back;
+    LOCF is a running ``last(ignorenulls)`` window per key.  All
+    post-rollup work is proportional to keys x buckets, not input rows."""
+    aggs = aggs or {"n_rows": F.count(F.lit(1))}
+    b = int(bucket_seconds)
+    bucket = (F.floor(F.unix_timestamp(F.col(ts)) / b) * b).cast("long").alias("bucket_start")
+    rolled = df.groupBy(*by, bucket).agg(*[v.alias(k) for k, v in aggs.items()])
+    if not gapfill:
+        return rolled
+    spans = rolled.groupBy(*by).agg(
+        F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
+    )
+    skeleton = spans.select(
+        *by,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), F.lit(b).cast("long"))).alias(
+            "bucket_start"
+        ),
+    )
+    out = skeleton.join(rolled, [*by, "bucket_start"], "left")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in locf:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    for c in fill_zero:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0).cast(out.schema[c].dataType)))
+    return out

@@ -104,3 +104,163 @@ def test_concat_chunk_offsets_partitioning_invariant(spark):
     for _, n, s, e, _, _ in ordered:
         assert s == pos and e == s + n
         pos = e
+
+
+# ---------------------------------------------------------------------------
+# range_join / interval_overlap_join / time_bucket_rollup
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from osm_public_space_mapper_spark.operators.timeseries import (
+    interval_overlap_join,
+    range_join,
+    time_bucket_rollup,
+)
+
+_BASE = dt.datetime(2026, 1, 1)
+
+
+def _rand_points(rng, n, n_keys, span_s):
+    return [
+        (int(i), int(rng.integers(n_keys)), _BASE + dt.timedelta(seconds=int(rng.integers(span_s))))
+        for i in range(n)
+    ]
+
+
+def _rand_intervals(rng, n, n_keys, span_s, max_len_s):
+    out = []
+    for i in range(n):
+        s = int(rng.integers(span_s))
+        ln = int(rng.integers(max_len_s))  # 0-length intervals allowed (dropped)
+        out.append(
+            (
+                1000 + int(i),
+                int(rng.integers(n_keys)),
+                _BASE + dt.timedelta(seconds=s),
+                _BASE + dt.timedelta(seconds=s + ln),
+            )
+        )
+    return out
+
+
+def test_range_join_matches_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    pts = _rand_points(rng, 120, 5, 86_400)
+    ivs = _rand_intervals(rng, 60, 5, 86_400, 7_200)
+    # boundary semantics: ts == start included, ts == end excluded
+    pts += [(900, 9, _ts("2026-01-02T00:00:00")), (901, 9, _ts("2026-01-02T01:00:00"))]
+    ivs += [(1900, 9, _ts("2026-01-02T00:00:00"), _ts("2026-01-02T01:00:00"))]
+
+    points = spark.createDataFrame(pts, "event_id long, user_id long, ts timestamp")
+    intervals = spark.createDataFrame(
+        ivs, "iv_id long, user_id long, start timestamp, end timestamp"
+    )
+    got = sorted(
+        (r.event_id, r.iv_id)
+        for r in range_join(
+            points, intervals, by=("user_id",), bucket_seconds=600
+        ).collect()
+    )
+    want = sorted(
+        (pe, ie)
+        for (pe, pk, pt) in pts
+        for (ie, ik, s, e) in ivs
+        if pk == ik and s <= pt < e
+    )
+    assert got == want  # exact pair multiset: no misses, no duplicates
+    assert (900, 1900) in got and (901, 1900) not in got
+
+
+def test_range_join_left_keeps_misses(spark):
+    points = spark.createDataFrame(
+        [
+            (1, 10, _ts("2026-01-01T10:00:00")),  # inside
+            (2, 10, _ts("2026-01-01T12:00:00")),  # same key, outside window
+            (3, 20, _ts("2026-01-01T10:00:00")),  # key with no intervals
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(100, 10, _ts("2026-01-01T09:30:00"), _ts("2026-01-01T10:30:00"))],
+        "iv_id long, user_id long, start timestamp, end timestamp",
+    )
+    rows = {
+        r.event_id: r.iv_id
+        for r in range_join(
+            points, intervals, by=("user_id",), bucket_seconds=600, how="left"
+        ).collect()
+    }
+    assert rows == {1: 100, 2: None, 3: None}
+
+
+def test_range_join_plan_is_equi_join(spark):
+    """The whole point: the plan must be a shuffled/broadcast HASH equi-join,
+    never BroadcastNestedLoopJoin / CartesianProduct."""
+    points = spark.createDataFrame(
+        [(1, 10, _ts("2026-01-01T10:00:00"))], "event_id long, user_id long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(100, 10, _ts("2026-01-01T09:30:00"), _ts("2026-01-01T10:30:00"))],
+        "iv_id long, user_id long, start timestamp, end timestamp",
+    )
+    for how in ("inner", "left"):
+        plan = range_join(
+            points, intervals, by=("user_id",), bucket_seconds=600, how=how
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    a_rows = _rand_intervals(rng, 50, 4, 86_400, 10_800)
+    b_rows = [
+        (2000 + i - 1000, k, s, e) for (i, k, s, e) in _rand_intervals(rng, 50, 4, 86_400, 10_800)
+    ]
+    # touching intervals do NOT overlap (half-open)
+    a_rows += [(1990, 8, _ts("2026-01-02T00:00:00"), _ts("2026-01-02T01:00:00"))]
+    b_rows += [(2990, 8, _ts("2026-01-02T01:00:00"), _ts("2026-01-02T02:00:00"))]
+    a = spark.createDataFrame(a_rows, "a_id long, user_id long, start timestamp, end timestamp")
+    b = spark.createDataFrame(b_rows, "b_id long, user_id long, start timestamp, end timestamp")
+
+    out = interval_overlap_join(a, b, by=("user_id",), bucket_seconds=1800)
+    got = sorted((r.a_id_a, r.b_id_b) for r in out.collect())
+    want = sorted(
+        (ai, bi)
+        for (ai, ak, as_, ae) in a_rows
+        for (bi, bk, bs, be) in b_rows
+        if ak == bk and ae > as_ and be > bs and as_ < be and bs < ae
+    )
+    assert got == want  # exact pair set, each pair exactly once
+    assert ("_b" not in out.columns) and ("start_a" in out.columns)
+    assert (1990, 2990) not in got
+
+
+def test_time_bucket_rollup_gapfill_locf(spark):
+    rows = [
+        ("a", _ts("2026-01-01T00:10:00"), 1.0),
+        ("a", _ts("2026-01-01T00:50:00"), 5.0),
+        # hour 1 and 2 empty for key a
+        ("a", _ts("2026-01-01T03:10:00"), 2.0),
+        ("b", _ts("2026-01-01T02:05:00"), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    from pyspark.sql import functions as F
+
+    out = time_bucket_rollup(
+        df,
+        3600,
+        by=("k",),
+        aggs={"n_rows": F.count(F.lit(1)), "max_value": F.max("value")},
+        gapfill=True,
+        locf=("max_value",),
+        fill_zero=("n_rows",),
+    )
+    got = {(r.k, r.bucket_start): (r.n_rows, r.max_value) for r in out.collect()}
+    h0 = int(_ts("2026-01-01T00:00:00").timestamp())
+    assert got[("a", h0)] == (2, 5.0)
+    assert got[("a", h0 + 3600)] == (0, 5.0)   # gap row: zero-filled count, LOCF max
+    assert got[("a", h0 + 7200)] == (0, 5.0)
+    assert got[("a", h0 + 3 * 3600)] == (1, 2.0)
+    assert got[("b", h0 + 7200)] == (1, 9.0)
+    assert len(got) == 5  # a: 4 buckets, b: 1 bucket — no cross-key gapfill

@@ -1012,6 +1012,58 @@ FROM j
 """
 
 
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE INTO on an Icelite table: orders become the
+    target (partitioned by o_orderstatus); every 10th key is upserted with
+    a 10% price bump into a new 'U' partition (cross-partition row move)
+    and re-inserted under a shifted key as a new 'N' row.  Returns the
+    merged table state; DuckDB reproduces it relationally (anti-join +
+    union).  `* 1.1` is IEEE-identical in both engines, so doubles pass
+    through unrounded."""
+    import tempfile
+
+    from osm_public_space_mapper_spark.tables.icelite import IceliteTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    tbl = IceliteTable(tempfile.mkdtemp(prefix="merge_upsert_"))
+    tbl.commit(orders, "o_orderstatus", stage="init")
+    upd = orders.where(F.col("o_orderkey") % 10 == 0)
+    src = upd.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    ).unionByName(
+        upd.select(
+            (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    tbl.merge_into(spark, src, on="o_orderkey")
+    return tbl.read(spark).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+_MERGE_UPSERT_DUCK = """
+WITH src AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM src
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 10 <> 0
+"""
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the SQL-expressible seed quantizer (train=False), so
     the whole pipeline — assignment, within-cluster pairs, transitive
@@ -1670,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": _q_range_join,
         "interval_overlap_events": _q_interval_overlap,
         "time_bucket_rollup_events": _q_time_bucket_rollup,
+        "merge_upsert_orders": _q_merge_upsert,
         "concat_chunk_offsets": _q_chunk_offsets,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_jaccard,
@@ -1728,6 +1781,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_events": _RANGE_JOIN_DUCK,
         "interval_overlap_events": _INTERVAL_OVERLAP_DUCK,
         "time_bucket_rollup_events": _TIME_BUCKET_ROLLUP_DUCK,
+        "merge_upsert_orders": _MERGE_UPSERT_DUCK,
         "concat_chunk_offsets": _CHUNK_OFFSETS_DUCK,
         "exact_dedup": _DEDUP_DUCK,
         "ngram_jaccard_pairs": _jaccard_sql_duck(3, 0.3),

@@ -58,7 +58,14 @@ class IceliteTable:
             return json.load(f)
 
     # -- write -------------------------------------------------------------
-    def commit(self, df, partition_col: str, stage: str = "default", mode: str = "append") -> dict:
+    def commit(
+        self,
+        df,
+        partition_col: str,
+        stage: str = "default",
+        mode: str = "append",
+        base_manifests: list | None = None,
+    ) -> dict:
         """Write df partitioned by `partition_col` and atomically commit a
         new snapshot whose manifest carries per-partition lineage.
 
@@ -159,7 +166,12 @@ class IceliteTable:
 
         prev = self.current_metadata()
         snap = self.current_snapshot()
-        old_manifests = snap["manifests"] if mode == "append" else []
+        if base_manifests is not None:
+            # caller supplies the carried-over manifest set (merge/COW path:
+            # untouched files survive, rewritten files are dropped)
+            old_manifests = base_manifests
+        else:
+            old_manifests = snap["manifests"] if mode == "append" else []
         n = len(prev["history"]) + 1
         snap_name = f"snap-{n:06d}.json"
         new_snap = {
@@ -215,6 +227,123 @@ class IceliteTable:
             for m in self.lineage()
             if stage is None or m["stage"] == stage
         }
+
+    def merge_into(
+        self,
+        spark,
+        source,
+        on: str,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+        matched_condition=None,
+        stage: str = "merge",
+    ) -> dict:
+        """MERGE INTO with Iceberg copy-on-write semantics, from scratch
+        (no Iceberg runtime reachable — SURVEY.md §4.2.4): upsert/delete a
+        key-unique ``source`` frame into this table and atomically commit a
+        new snapshot.  Old snapshots stay readable (time travel).
+
+        Clauses (the Iceberg/Delta MERGE surface this engine needs):
+        - ``when_matched='update'``: the source row replaces the target row
+          (full-row UPDATE SET * — the partition value may change, moving
+          the row across partitions);
+          ``'delete'``: matched target rows are removed.
+          ``matched_condition`` (a Column over target columns) restricts the
+          clause to matching rows that satisfy it; non-satisfying matched
+          rows are carried over unchanged (WHEN MATCHED AND <cond>).
+        - ``when_not_matched='insert'``: source rows with no target match
+          are appended; ``'ignore'`` drops them.
+
+        HOW, Spark-first, and why it scales: copy-on-write at FILE
+        granularity.  A broadcast semi-join of the manifest-listed scan
+        against the source keys finds the files that contain at least one
+        match; ONLY those files are rewritten — every other data file's
+        manifest entry carries over into the new snapshot byte-untouched
+        (at 100 TB a merge touching 0.1% of keys rewrites ~0.1% of files,
+        not the table).  The affected-file list is collected on the driver
+        — metadata-scale by contract, like the manifest reader itself.  The
+        rewrite plan is one union: (rows of affected files that didn't
+        match) + (matched rows per clause) + (inserts via broadcast
+        anti-join of source vs GLOBAL target keys — key containment, not
+        file containment).
+
+        Contract: ``source`` has the target's schema and is unique on
+        ``on`` (several source rows for one key make the merge ambiguous —
+        standard MERGE cardinality rule, enforced by the caller)."""
+        from pyspark.sql import functions as F
+
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(
+                f"when_not_matched must be 'insert' or 'ignore', got {when_not_matched!r}"
+            )
+        snap = self.current_snapshot()
+        if not snap["manifests"]:
+            raise ValueError("merge_into target is empty — commit an initial snapshot first")
+        partition_col = self.current_metadata()["partition_col"]
+
+        tgt = self.read(spark).withColumn("_file", F.expr("input_file_name()"))
+        src_keys = source.select(on).distinct()
+        # file pruning: basenames are uuid-unique, so the URI-vs-local-path
+        # scheme difference never matters
+        affected = {
+            os.path.basename(r[0])
+            for r in tgt.join(F.broadcast(src_keys), on, "left_semi")
+            .select(F.element_at(F.split("_file", "/"), -1))
+            .distinct()
+            .collect()
+        }
+        carried = [
+            m for m in snap["manifests"] if os.path.basename(m["path"]) not in affected
+        ]
+        tcols = [c for c in tgt.columns if c != "_file"]
+        if not affected and when_not_matched == "ignore":
+            return snap  # no-op merge: nothing matched, nothing to insert
+
+        # rewrite scan touches ONLY the affected files
+        aff_paths = sorted(
+            m["path"] for m in snap["manifests"] if os.path.basename(m["path"]) in affected
+        )
+        hit = (
+            spark.read.parquet(*aff_paths)
+            if aff_paths
+            else spark.createDataFrame([], tgt.drop("_file").schema)
+        )
+        is_matched = F.col("_mk").isNotNull()
+        take_clause = is_matched if matched_condition is None else (is_matched & matched_condition)
+        joined = hit.join(
+            F.broadcast(src_keys.select(F.col(on).alias("_mk"))),
+            F.col(on) == F.col("_mk"),
+            "left",
+        )
+        carry_rows = joined.where(~F.coalesce(take_clause, F.lit(False))).select(*tcols)
+        if when_matched == "update":
+            updated = source.join(
+                F.broadcast(
+                    joined.where(take_clause).select(F.col(on).alias("_uk")).distinct()
+                ),
+                F.col(on) == F.col("_uk"),
+                "inner",
+            ).select(*tcols)
+        else:
+            updated = None
+
+        if when_not_matched == "insert":
+            # global key containment decides inserts; the key column scan is
+            # column-pruned and the join strategy is left to Catalyst/AQE
+            # (never broadcast the table-side key set)
+            inserts = source.join(tgt.select(on).distinct(), on, "left_anti").select(*tcols)
+        else:
+            inserts = None
+
+        rewrite = carry_rows
+        for extra in (updated, inserts):
+            if extra is not None:
+                rewrite = rewrite.unionByName(extra)
+        return self.commit(
+            rewrite, partition_col, stage=stage, base_manifests=carried
+        )
 
     def commit_resumable(self, df, partition_col: str, stage: str = "default") -> dict:
         """Resume-aware commit: skips partitions already committed for this

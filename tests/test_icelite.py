@@ -69,3 +69,96 @@ def test_atomic_metadata(spark, table):
     with open(os.path.join(table.meta_dir, "snap-000001.json")) as f:
         old = json.load(f)
     assert sum(m["row_count"] for m in old["manifests"]) == 8
+
+
+# ---------------------------------------------------------------------------
+# merge_into (copy-on-write MERGE)
+# ---------------------------------------------------------------------------
+
+
+def _state(spark, table):
+    return {r.id: (r.part, r.v) for r in table.read(spark).collect()}
+
+
+def test_merge_upsert_updates_and_inserts(spark, table):
+    table.commit(_df(spark, 0, 40), "part", stage="init")
+    # update ids 0..9 (v -> id*100, partition flips to '9'), insert 100..104
+    src = (
+        spark.range(0, 10)
+        .withColumn("part", F.lit("9"))
+        .withColumn("v", F.col("id") * 100)
+        .unionByName(
+            spark.range(100, 105)
+            .withColumn("part", F.lit("7"))
+            .withColumn("v", F.col("id"))
+        )
+    )
+    table.merge_into(spark, src, on="id")
+    got = _state(spark, table)
+    assert len(got) == 45
+    for i in range(10):
+        assert got[i] == ("9", i * 100)          # updated, moved partition
+    for i in range(10, 40):
+        assert got[i] == (str(i % 4), i * 2)     # untouched
+    for i in range(100, 105):
+        assert got[i] == ("7", i)                # inserted
+
+
+def test_merge_delete_clause(spark, table):
+    table.commit(_df(spark, 0, 20), "part", stage="init")
+    src = spark.range(0, 8).withColumn("part", F.lit("x")).withColumn("v", F.lit(0))
+    table.merge_into(spark, src, on="id", when_matched="delete", when_not_matched="ignore")
+    got = _state(spark, table)
+    assert sorted(got) == list(range(8, 20))
+
+
+def test_merge_matched_condition(spark, table):
+    table.commit(_df(spark, 0, 20), "part", stage="init")
+    # only matched target rows with v >= 20 (id >= 10) take the update
+    src = spark.range(0, 20).withColumn("part", F.lit("9")).withColumn("v", F.lit(-1))
+    table.merge_into(
+        spark, src, on="id", matched_condition=F.col("v") >= 20, when_not_matched="ignore"
+    )
+    got = _state(spark, table)
+    assert all(got[i] == (str(i % 4), i * 2) for i in range(10))
+    assert all(got[i] == ("9", -1) for i in range(10, 20))
+
+
+def test_merge_rewrites_only_affected_files(spark, table):
+    """Copy-on-write evidence: a merge touching one partition's keys leaves
+    every other data file's manifest entry byte-identical."""
+    table.commit(_df(spark, 0, 100), "part", stage="init")
+    before = {m["path"]: m["content_hash"] for m in table.lineage()}
+    # ids ≡ 1 (mod 4) live only in partition '1' files
+    src = (
+        spark.range(0, 100)
+        .where(F.col("id") % 4 == 1)
+        .withColumn("part", F.lit("1"))
+        .withColumn("v", F.lit(0))
+    )
+    table.merge_into(spark, src, on="id", when_not_matched="ignore")
+    after = {m["path"]: m["content_hash"] for m in table.lineage()}
+    untouched_before = {p: h for p, h in before.items() if "part=1" not in p}
+    for p, h in untouched_before.items():
+        assert after.get(p) == h, f"unaffected file {p} was rewritten"
+    assert all("part=1" not in p or p not in before for p in after)
+    assert {r.v for r in table.read(spark, partitions=["1"]).select("v").collect()} == {0}
+
+
+def test_merge_time_travel_preserves_old_snapshot(spark, table):
+    s1 = table.commit(_df(spark, 0, 20), "part", stage="init")
+    src = spark.range(0, 5).withColumn("part", F.lit("0")).withColumn("v", F.lit(-7))
+    table.merge_into(spark, src, on="id", when_not_matched="ignore")
+    old = {r.id: r.v for r in table.read(spark, snapshot_id=s1["snapshot_id"]).collect()}
+    assert old == {i: i * 2 for i in range(20)}
+    new = _state(spark, table)
+    assert all(new[i] == ("0", -7) for i in range(5))
+
+
+def test_merge_noop_returns_current_snapshot(spark, table):
+    table.commit(_df(spark, 0, 8), "part", stage="init")
+    before = table.current_snapshot()
+    src = spark.range(500, 505).withColumn("part", F.lit("z")).withColumn("v", F.lit(1))
+    snap = table.merge_into(spark, src, on="id", when_not_matched="ignore")
+    assert snap["snapshot_id"] == before["snapshot_id"]
+    assert _state(spark, table) == {i: (str(i % 4), i * 2) for i in range(8)}

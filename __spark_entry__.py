@@ -1603,6 +1603,39 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blur / entropy / dynamic-range curation signals over decoded pixels
+    (rows-only here; numpy-exact oracle in tests/test_images_codec.py)."""
+    from osm_public_space_mapper_spark.operators.imageops import image_quality
+
+    images = _images(spark, 200, with_pixels=True)
+    q = image_quality(images)
+    return q.select(
+        "image_id",
+        F.round("blur_score", 4).alias("blur_score"),
+        F.round("entropy", 4).alias("entropy"),
+        F.round("dynamic_range", 4).alias("dynamic_range"),
+    )
+
+
+def _q_image_multihash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash near-dup pairs over decoded pixels: one decode pass computes
+    all three hash families; the banded join runs on the dHash column
+    (rows-only here; numpy brute-force oracle in tests)."""
+    from osm_public_space_mapper_spark.operators.imageops import image_hash_dups
+
+    images = _images(spark, 300, with_pixels=True)
+    dups = (
+        images.limit(30)
+        .select(
+            F.concat(F.lit("dup-"), F.col("image_id")).alias("image_id"),
+            "bytes", "w", "h", "fmt",
+        )
+    )
+    corpus = images.select("image_id", "bytes", "w", "h", "fmt").unionByName(dups)
+    return image_hash_dups(corpus, method="dhash", max_hamming=3).orderBy("img_a", "img_b")
+
+
 def _q_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-encode throughput op: images per res-12 cell (skew showcase).
 
@@ -1745,6 +1778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_masks": _q_tiles,
         "image_invariants": _q_image_invariants,
         "image_features": _q_image_features,
+        "image_quality": _q_image_quality,
+        "image_dhash_dups": _q_image_multihash_dups,
         "image_phash_dups": _q_image_phash_dups,
         "transcode_jpeg": _q_transcode_jpeg,
         "phash_hamming_pairs_carried": _q_phash_pairs_carried,

@@ -327,3 +327,174 @@ def transcode_images(
             yield out
 
     return images.mapInPandas(_run, images.schema)
+
+
+# ---------------------------------------------------------------------------
+# additional perceptual hashes (aHash / dHash) + image quality scores
+# ---------------------------------------------------------------------------
+
+
+def _luma_of(px: np.ndarray) -> np.ndarray:
+    return px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+
+
+def _nn_grid(luma: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Nearest-neighbor downsample to (oh, ow) — same lattice as pHash's,
+    exact for any input ≥ 1×1."""
+    h, w = luma.shape
+    yy = np.minimum((np.arange(oh) * h) // oh, h - 1)
+    xx = np.minimum((np.arange(ow) * w) // ow, w - 1)
+    return luma[np.ix_(yy, xx)]
+
+
+def _bits_to_i64(bits: np.ndarray) -> int:
+    val = 0
+    for b in np.nonzero(bits.ravel())[0]:
+        val |= 1 << int(b)
+    if val >= 1 << 63:  # two's complement into int64
+        val -= 1 << 64
+    return val
+
+
+def ahash64_pixels(px: np.ndarray) -> int:
+    """64-bit average hash: luma → 8×8 → bit = pixel > mean. The cheapest
+    perceptual hash — robust to resize/re-encode, weak to contrast shifts
+    (which pHash's DCT normalization absorbs)."""
+    small = _nn_grid(_luma_of(px), 8, 8)
+    return _bits_to_i64(small > small.mean())
+
+
+def dhash64_pixels(px: np.ndarray) -> int:
+    """64-bit difference hash: luma → 8×9 → bit = right neighbor brighter.
+    Gradient-based, so it survives global brightness/contrast changes that
+    flip aHash bits."""
+    small = _nn_grid(_luma_of(px), 8, 9)
+    return _bits_to_i64(small[:, 1:] > small[:, :-1])
+
+
+_MULTIHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("phash64", T.LongType()),
+        T.StructField("ahash64", T.LongType()),
+        T.StructField("dhash64", T.LongType()),
+    ]
+)
+
+
+def image_multihash(images: DataFrame, keep: list[str] | None = None) -> DataFrame:
+    """image_id → (phash64, ahash64, dhash64) in ONE decode pass — the
+    pipeline shape that matters at 10^12 images: decode (the dominant cost)
+    runs once and all three hash families are computed from the same pixel
+    array, instead of three ops each paying the decode."""
+    keep = keep or []
+
+    def _mh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ph, ah, dh = [], [], [], []
+            kept = {k: [] for k in keep}
+            for _, row in pdf.iterrows():
+                px = decode_image(bytes(row["bytes"]), int(row["w"]), int(row["h"]), row["fmt"])
+                ids.append(row["image_id"])
+                ph.append(phash64_pixels(px))
+                ah.append(ahash64_pixels(px))
+                dh.append(dhash64_pixels(px))
+                for k in keep:
+                    kept[k].append(row[k])
+            out = {
+                "image_id": ids,
+                "phash64": pd.Series(ph, dtype="int64"),
+                "ahash64": pd.Series(ah, dtype="int64"),
+                "dhash64": pd.Series(dh, dtype="int64"),
+            }
+            out.update(kept)
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        list(_MULTIHASH_SCHEMA.fields)
+        + [T.StructField(k, images.schema[k].dataType) for k in keep]
+    )
+    return images.select("image_id", "bytes", "w", "h", "fmt", *keep).mapInPandas(_mh, schema)
+
+
+def image_hash_dups(
+    images: DataFrame,
+    method: str = "phash",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Near-duplicate image pairs under any of the three hash families
+    ('phash' | 'ahash' | 'dhash'), all through the same scale machinery as
+    `image_phash_dups`: banded 16-bit equi-join + salted hot-bucket guard +
+    one xor/bit_count verify — never all-pairs."""
+    from .dedup import hamming_fp_pairs
+
+    col = {"phash": "phash64", "ahash": "ahash64", "dhash": "dhash64"}.get(method)
+    if col is None:
+        raise ValueError(f"method must be phash|ahash|dhash, got {method!r}")
+    return hamming_fp_pairs(
+        image_multihash(images).select("image_id", col), "image_id", col,
+        bits=64, max_hamming=max_hamming, n_bands=n_bands, max_bucket=max_bucket,
+    ).select(
+        F.col("doc_a").alias("img_a"),
+        F.col("doc_b").alias("img_b"),
+        "hamming",
+    )
+
+
+def blur_var_laplacian(px: np.ndarray) -> float:
+    """Variance of the 4-neighbor Laplacian of luma — the standard blur
+    metric (Pech-Pacheco et al. 2000): sharp images have high-variance
+    second derivatives; blurred ones collapse toward 0."""
+    luma = _luma_of(px)
+    if luma.shape[0] < 3 or luma.shape[1] < 3:
+        return 0.0
+    lap = (
+        luma[:-2, 1:-1] + luma[2:, 1:-1] + luma[1:-1, :-2] + luma[1:-1, 2:]
+        - 4.0 * luma[1:-1, 1:-1]
+    )
+    return float(lap.var())
+
+
+def luma_entropy(px: np.ndarray) -> float:
+    """Shannon entropy (bits) of the 256-bin luma histogram — flat/synthetic
+    fills score near 0, natural textures near 7-8."""
+    hist = np.bincount(
+        np.clip(_luma_of(px), 0, 255).astype(np.int64).ravel(), minlength=256
+    )
+    p = hist[hist > 0] / hist.sum()
+    return float(-(p * np.log2(p)).sum())
+
+
+_QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("blur_score", T.DoubleType()),
+        T.StructField("entropy", T.DoubleType()),
+        T.StructField("dynamic_range", T.DoubleType()),
+    ]
+)
+
+
+def image_quality(images: DataFrame) -> DataFrame:
+    """Per-image quality signals for corpus curation filters: blur
+    (variance of Laplacian), information content (luma entropy), and
+    contrast (p99−p1 luma dynamic range). One decode pass; threshold
+    downstream with plain Catalyst filters, mirroring the text-side
+    `quality_gate`."""
+
+    def _q(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "blur_score", "entropy", "dynamic_range")}
+            for _, row in pdf.iterrows():
+                px = decode_image(bytes(row["bytes"]), int(row["w"]), int(row["h"]), row["fmt"])
+                luma = _luma_of(px)
+                out["image_id"].append(row["image_id"])
+                out["blur_score"].append(blur_var_laplacian(px))
+                out["entropy"].append(luma_entropy(px))
+                p1, p99 = np.percentile(luma, [1.0, 99.0])
+                out["dynamic_range"].append(float(p99 - p1))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(_q, _QUALITY_SCHEMA)

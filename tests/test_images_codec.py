@@ -243,3 +243,115 @@ def test_transcode_images_normalizes_corpus(spark):
 
     with _pytest.raises(ValueError):
         transcode_images(df, to_fmt="webp")
+
+
+def test_image_multihash_and_hash_dups_match_bruteforce(spark):
+    """aHash / dHash twins of the pHash test: the one-decode-pass multihash
+    op must reproduce all three per-pixel kernels, and the banded hash-dup
+    join must equal the numpy brute-force pair set per method."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_public_space_mapper_spark.images.codec import encode_png, synth_pixels
+    from osm_public_space_mapper_spark.operators.imageops import (
+        ahash64_pixels,
+        dhash64_pixels,
+        image_hash_dups,
+        image_multihash,
+        phash64_pixels,
+    )
+
+    rows = []
+    for i in range(30):
+        px = synth_pixels(2000 + i, 40, 32)
+        rows.append((f"img{i:03d}", encode_png(px), 40, 32, "png", px))
+    for i in range(5):  # exact dups
+        px = synth_pixels(2000 + i, 40, 32)
+        rows.append((f"dup{i:03d}", encode_png(px), 40, 32, "png", px))
+    pdf = pd.DataFrame(
+        {
+            "image_id": [r[0] for r in rows],
+            "bytes": [r[1] for r in rows],
+            "w": [r[2] for r in rows],
+            "h": [r[3] for r in rows],
+            "fmt": [r[4] for r in rows],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    kernels = {"phash": phash64_pixels, "ahash": ahash64_pixels, "dhash": dhash64_pixels}
+    got_mh = {
+        r.image_id: (r.phash64, r.ahash64, r.dhash64) for r in image_multihash(df).collect()
+    }
+    assert got_mh == {
+        r[0]: (phash64_pixels(r[5]), ahash64_pixels(r[5]), dhash64_pixels(r[5])) for r in rows
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    for method, kern in kernels.items():
+        hashes = {r[0]: kern(r[5]) for r in rows}
+        ids = sorted(hashes)
+        expected = {
+            (a, b, ham(hashes[a], hashes[b]))
+            for ai, a in enumerate(ids)
+            for b in ids[ai + 1 :]
+            if ham(hashes[a], hashes[b]) <= 3
+        }
+        got = {
+            (r.img_a, r.img_b, r.hamming)
+            for r in image_hash_dups(df, method=method, max_hamming=3).collect()
+        }
+        assert got == expected, (method, sorted(got ^ expected)[:5])
+        for i in range(5):
+            assert (f"dup{i:03d}", f"img{i:03d}", 0) in got, method
+
+
+def test_image_quality_scores(spark):
+    """Blur / entropy / dynamic-range signals: values must equal the numpy
+    kernels exactly, and the semantics must order a sharp checkerboard above
+    its blurred twin and a flat fill at zero everything."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_public_space_mapper_spark.images.codec import encode_png
+    from osm_public_space_mapper_spark.operators.imageops import (
+        blur_var_laplacian,
+        image_quality,
+        luma_entropy,
+    )
+
+    # sharp checkerboard
+    yy, xx = np.mgrid[0:32, 0:32]
+    sharp = (((yy // 4 + xx // 4) % 2) * 255).astype(np.uint8)
+    sharp = np.stack([sharp] * 3, axis=-1)
+    # box-blurred twin (5x5 mean filter via cumsum would be overkill: simple loop)
+    f = sharp[:, :, 0].astype(np.float64)
+    blur = f.copy()
+    for _ in range(3):
+        blur = (
+            np.roll(blur, 1, 0) + np.roll(blur, -1, 0) + np.roll(blur, 1, 1)
+            + np.roll(blur, -1, 1) + blur
+        ) / 5.0
+    blurred = np.stack([np.clip(blur, 0, 255).astype(np.uint8)] * 3, axis=-1)
+    flat = np.full((32, 32, 3), 128, dtype=np.uint8)
+
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["sharp", "blurred", "flat"],
+            "bytes": [encode_png(sharp), encode_png(blurred), encode_png(flat)],
+            "w": [32, 32, 32],
+            "h": [32, 32, 32],
+            "fmt": ["png", "png", "png"],
+        }
+    )
+    got = {r.image_id: r for r in image_quality(spark.createDataFrame(pdf)).collect()}
+
+    assert got["sharp"].blur_score == blur_var_laplacian(sharp)
+    assert got["sharp"].entropy == luma_entropy(sharp)
+    assert got["sharp"].blur_score > got["blurred"].blur_score > 0.0
+    assert got["flat"].blur_score == 0.0
+    assert got["flat"].entropy == 0.0
+    assert got["flat"].dynamic_range == 0.0
+    assert got["sharp"].dynamic_range > 200.0

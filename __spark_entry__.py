@@ -1242,6 +1242,92 @@ def _q_emb_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode with the SQL-expressible seed codebooks (first-16 vectors,
+    8 subspaces × 16 codes): every engine step — split, micro-distance,
+    argmin with code-asc tie-break — is integer-exact, so DuckDB reproduces
+    the codes bit-for-bit."""
+    from osm_public_space_mapper_spark.operators.similarity import (
+        pq_encode,
+        seed_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = seed_pq_codebooks(emb, m=8, ksub=16)
+    return pq_encode(emb, cb)
+
+
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-5 by L2 with seed codebooks; integer micro-distance sums
+    make the ranking order-independent and engine-portable."""
+    from osm_public_space_mapper_spark.operators.similarity import (
+        pq_topk,
+        seed_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = seed_pq_codebooks(emb, m=8, ksub=16)
+    return pq_topk(emb, queries, cb, k=5)
+
+
+def _pq_duck_ctes(m: int = 8, ksub: int = 16, dsub: int = 8) -> str:
+    def dist(a: str, b: str) -> str:
+        terms = " + ".join(
+            f"(CAST({a}[sv.s*{dsub}+{i+1}] AS DOUBLE) - CAST({b}[sv.s*{dsub}+{i+1}] AS DOUBLE))"
+            f" * (CAST({a}[sv.s*{dsub}+{i+1}] AS DOUBLE) - CAST({b}[sv.s*{dsub}+{i+1}] AS DOUBLE))"
+            for i in range(dsub)
+        )
+        return f"CAST(FLOOR(({terms}) * 1000000) AS BIGINT)"
+
+    return f"""
+cb AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code, embedding AS cemb
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {ksub})
+),
+sv AS (SELECT unnest(range({m})) AS s),
+dists AS (
+  SELECT e.vec_id, sv.s, cb.code, {dist('e.embedding', 'cb.cemb')} AS dm
+  FROM embeddings e CROSS JOIN sv CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dm ASC, code ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+luts AS (
+  SELECT q.query_id, sv.s, cb.code, {dist('q.qemb', 'cb.cemb')} AS dm
+  FROM (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings WHERE vec_id % 50 = 0) q
+  CROSS JOIN sv CROSS JOIN cb
+)
+"""
+
+
+_PQ_CODES_DUCK = (
+    "WITH " + _pq_duck_ctes().strip()
+    + "\nSELECT vec_id, list(code ORDER BY s) AS codes FROM codes GROUP BY vec_id"
+)
+
+_PQ_TOPK_DUCK = (
+    "WITH " + _pq_duck_ctes().strip()
+    + """,
+adist AS (
+  SELECT l.query_id, c.vec_id, CAST(SUM(l.dm) AS BIGINT) AS adist_micro
+  FROM codes c JOIN luts l ON l.s = c.s AND l.code = c.code
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adist_micro, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist_micro ASC, vec_id ASC) AS rank
+  FROM adist
+) WHERE rank <= 5
+"""
+)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash64(_t(spark, sf_dir, "documents"), bits=64)
 
@@ -1772,6 +1858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_emb_ann,
         "ann_lsh_recall": _q_ann_recall,
         "ivf_topk": _q_emb_ivf,
+        "pq_codes": _q_pq_codes,
+        "pq_topk": _q_pq_topk,
         # spatial / image engine ops (rows-only here; numpy-oracled in tests/)
         "pip_assign_counts": _q_pip_counts,
         "knn_walkable": _q_knn,
@@ -1834,5 +1922,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_sql_duck(),
         "ann_lsh_recall": _ann_recall_sql_duck(),
         "ivf_topk": _ivf_sql_duck(),
+        "pq_codes": _PQ_CODES_DUCK,
+        "pq_topk": _PQ_TOPK_DUCK,
         "image_cell_histogram": _cell_hist_sql_duck(),
     }

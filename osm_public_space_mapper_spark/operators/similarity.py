@@ -342,3 +342,159 @@ def corpus_list_udf(cents_list: list[list[float]]):
         return _ivf_assign_series(cents_list, col, 1).map(lambda a: int(a[0]))
 
     return corpus_list
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): codebooks / encode / ADC top-k
+# ---------------------------------------------------------------------------
+#
+# FAISS-PQ structure, Spark-native: the corpus compresses to m small codes
+# per vector (m * log2(ksub) bits instead of dim * 32), search is
+# asymmetric-distance (ADC) — a per-query lookup table of subspace
+# distances, summed over the corpus codes with PURE Catalyst element_at
+# expressions (whole-stage codegen; the corpus never shuffles, the tiny
+# LUT side broadcasts). All distances are integer micro-units
+# (floor(L2² * 1e6)): integer sums are order-independent, so Spark, numpy
+# and the DuckDB oracle agree bit-for-bit — no float-associativity drift.
+
+
+def _pq_micro(d: np.ndarray) -> np.ndarray:
+    """float64 L2² → int64 micro-distance (floor is engine-portable,
+    unlike round's half-even/half-up split)."""
+    return np.floor(d * 1_000_000.0).astype(np.int64)
+
+
+def seed_pq_codebooks(embeddings: DataFrame, m: int = 8, ksub: int = 16) -> list:
+    """Untrained PQ codebooks: the first `ksub` corpus vectors by vec_id,
+    each split into `m` subvectors — SQL-expressible (ORDER BY vec_id
+    LIMIT ksub), so the whole encode/ADC pipeline is DuckDB-hash-checkable
+    (the PQ analog of `seed_ivf_centroids`). Returns (m, ksub, dsub)."""
+    rows = embeddings.select("vec_id", "embedding").orderBy("vec_id").limit(ksub).collect()
+    v = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    if v.shape[1] % m:
+        raise ValueError(f"dim {v.shape[1]} not divisible by m={m}")
+    dsub = v.shape[1] // m
+    # (ksub, m, dsub) → (m, ksub, dsub)
+    return v.reshape(len(v), m, dsub).transpose(1, 0, 2).tolist()
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> list:
+    """Deterministic per-subspace k-means (the real PQ trainer): bounded
+    TakeOrdered sample (same any-parallelism-stable protocol as
+    `train_ivf_centroids`), independent k-means in each of the m
+    subspaces. Returns (m, ksub, dsub) nested lists."""
+    rows = (
+        embeddings.select("vec_id", "embedding").orderBy("vec_id").limit(sample).collect()
+    )
+    v = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    if v.shape[1] % m:
+        raise ValueError(f"dim {v.shape[1]} not divisible by m={m}")
+    dsub = v.shape[1] // m
+    sub = v.reshape(len(v), m, dsub)
+    rng = np.random.RandomState(seed)
+    books = []
+    for s in range(m):
+        x = sub[:, s, :]
+        cents = x[rng.choice(len(x), size=min(ksub, len(x)), replace=False)].copy()
+        for _ in range(iters):
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d, axis=1)
+            for j in range(len(cents)):
+                members = x[assign == j]
+                if len(members):
+                    cents[j] = members.mean(axis=0)
+        books.append(cents.tolist())
+    return books
+
+
+def _pq_encode_matrix(v: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, dim) × (m, ksub, dsub) → (n, m) int codes: per-subspace argmin
+    of the micro-distance, first-minimum tie-break (code asc)."""
+    n, dim = v.shape
+    m, ksub, dsub = cb.shape
+    sub = v.reshape(n, m, dsub)
+    d = ((sub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1)  # (n, m, ksub)
+    return np.argmin(_pq_micro(d), axis=2).astype(np.int32)
+
+
+def pq_encode(embeddings: DataFrame, codebooks: list) -> DataFrame:
+    """(vec_id, codes array<int>) — one Arrow map-only pass against the
+    broadcast codebooks; the corpus never shuffles. At 10^9 vectors this is
+    the compression step that makes the code table memory-resident
+    (m bytes/vector at ksub ≤ 256)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(col: pd.Series) -> pd.Series:
+        v = np.stack(col.to_numpy()).astype(np.float64)
+        codes = _pq_encode_matrix(v, cb)
+        return pd.Series(list(codes), index=col.index).map(lambda a: a.tolist())
+
+    return embeddings.select("vec_id", enc(F.col("embedding")).alias("codes"))
+
+
+def pq_query_luts(queries: DataFrame, codebooks: list) -> DataFrame:
+    """(query_id, lut array<long> of length m*ksub, s-major): per-query ADC
+    lookup table of micro-distances between each query subvector and every
+    codebook entry."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def lut(col: pd.Series) -> pd.Series:
+        v = np.stack(col.to_numpy()).astype(np.float64)
+        sub = v.reshape(len(v), m, dsub)
+        d = _pq_micro(((sub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1))
+        return pd.Series(list(d.reshape(len(v), m * ksub)), index=col.index).map(
+            lambda a: a.tolist()
+        )
+
+    return queries.select("query_id", lut(F.col("embedding")).alias("lut"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 5,
+) -> DataFrame:
+    """PQ/ADC approximate top-k by L2: corpus → codes (map-only), queries →
+    broadcast LUTs, approximate distance = Σ_s lut[s*ksub + code_s]
+    evaluated as a chain of built-in element_at expressions — whole-stage
+    codegen, no Python in the per-pair hot path, integer-exact. Returns
+    (query_id, vec_id, adist_micro, rank)."""
+    from functools import reduce
+    from operator import add
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, _ = cb.shape
+    codes = pq_encode(embeddings, codebooks)
+    luts = pq_query_luts(queries, codebooks)
+    j = codes.join(F.broadcast(luts))
+    terms = [
+        F.element_at(
+            F.col("lut"),
+            (F.element_at(F.col("codes"), s + 1) + F.lit(s * ksub + 1)).cast("int"),
+        )
+        for s in range(m)
+    ]
+    scored = j.select(
+        "query_id",
+        "vec_id",
+        reduce(add, terms).cast("long").alias("adist_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist_micro").asc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -537,3 +537,93 @@ def test_semantic_dedup_matches_numpy(spark):
     for vec, (_, cid, keep) in got.items():
         roots.setdefault(cid, []).append(keep)
     assert all(sum(ks) == 1 for ks in roots.values())
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_matches_numpy(spark):
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cb = SIM.seed_pq_codebooks(emb, m=8, ksub=16)
+    got = {r.vec_id: r.codes for r in SIM.pq_encode(emb, cb).collect()}
+
+    rows = emb.orderBy("vec_id").collect()
+    v = np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    want_codes = SIM._pq_encode_matrix(v, np.asarray(cb))
+    want = {r.vec_id: list(want_codes[i]) for i, r in enumerate(rows)}
+    assert got == want
+    # codebook shape contract and the seed identity: vector j quantizes to
+    # code j in every subspace with zero error (it IS a codebook entry)
+    assert np.asarray(cb).shape == (8, 16, 8)
+    for j in range(16):
+        assert got[rows[j].vec_id] == [j] * 8
+
+
+def test_pq_topk_matches_numpy_adc(spark):
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = SIM.seed_pq_codebooks(emb, m=8, ksub=16)
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.adist_micro)
+        for r in SIM.pq_topk(emb, queries, cb, k=5).collect()
+    }
+
+    cbm = np.asarray(cb)
+    rows = emb.orderBy("vec_id").collect()
+    v = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    codes = SIM._pq_encode_matrix(v, cbm)
+    qrows = [r for r in rows if r.vec_id % 100 == 0]
+    want = {}
+    for qr in qrows:
+        q = np.asarray(qr.embedding, dtype=np.float64).reshape(8, 8)
+        lut = SIM._pq_micro(((q[:, None, :] - cbm) ** 2).sum(-1))  # (8, 16)
+        adist = lut[np.arange(8)[:, None], codes.T].sum(axis=0)
+        order = np.lexsort((ids, adist))
+        for rank, i in enumerate(order[:5], start=1):
+            want[(qr.vec_id, rank)] = (int(ids[i]), int(adist[i]))
+    assert got == want
+
+
+def test_pq_trained_beats_seed_distortion_and_recalls(spark):
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    seed_cb = np.asarray(SIM.seed_pq_codebooks(emb, m=8, ksub=16))
+    train_cb = np.asarray(SIM.train_pq_codebooks(emb, m=8, ksub=16, sample=500, iters=8))
+
+    rows = emb.orderBy("vec_id").collect()
+    v = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+
+    def distortion(cbm):
+        sub = v.reshape(len(v), 8, 8)
+        d = ((sub[:, :, None, :] - cbm[None]) ** 2).sum(-1)
+        return d.min(axis=2).sum()
+
+    assert distortion(train_cb) < 0.8 * distortion(seed_cb)
+
+    # recall@5 of trained-PQ ADC vs exact L2 top-5 — at 16×32 the measured
+    # recall is ~0.68 on this table; 0.5 is the regression floor
+    fine_cb = SIM.train_pq_codebooks(emb, m=16, ksub=32, sample=500, iters=8)
+    got = {}
+    for r in SIM.pq_topk(emb, queries, fine_cb, k=5).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = []
+    for qr in [r for r in rows if r.vec_id % 100 == 0]:
+        q = np.asarray(qr.embedding, dtype=np.float64)
+        exact_d = ((v - q) ** 2).sum(axis=1)
+        top = set(ids[np.lexsort((ids, exact_d))[:5]].tolist())
+        recalls.append(len(top & got[qr.vec_id]) / 5.0)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls

@@ -1242,6 +1242,18 @@ def _q_emb_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE tokenizer on the documents table and return the top-50
+    token vocabulary head (rows-only: the merge loop is inherently
+    iterative — pinned by hand-computed merges + invariants in
+    tests/test_bpe.py)."""
+    from osm_public_space_mapper_spark.operators.bpe import bpe_vocab_usage, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=120)
+    return bpe_vocab_usage(docs, merges, k=50)
+
+
 def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encode with the SQL-expressible seed codebooks (first-16 vectors,
     8 subspaces × 16 codes): every engine step — split, micro-distance,
@@ -1832,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_gate": _q_quality_gate,
         "corpus_line_dedup": _q_line_dedup,
         "corpus_token_topk": _q_token_topk,
+        "bpe_vocab_topk": _q_bpe_vocab,
         "pii_scrub": _q_pii_scrub,
         "deterministic_split": _q_split,
         "source_quota_sample": _q_quota,

@@ -252,6 +252,9 @@ def run_full() -> dict:
         "dup_clusters",
         "pii_scrub",
         "dup_span_stats",
+        "asof_join_events",
+        "range_join_events",
+        "pq_topk",
     ):
         t = time.time()
         qmap[name](spark, SF_DIR).count()

@@ -174,12 +174,17 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
 
     Scale shape: the line-level fractions are pure array expressions
     (three ``aggregate`` higher-order sums per doc — constant count, not
-    the per-bit fan-out pattern dedup.py kernelized) evaluated map-side
-    with NO shuffle. Only the bigram mode needs one: explode_outer →
-    partial-aggregated groupBy on (doc, bigram) → per-doc row_number —
-    both keyed by doc_id, so skew is bounded by document length, never by
-    corpus-wide token frequency. Matches the DuckDB oracle bit-for-bit
-    (driver row ``doc_repetition_stats``)."""
+    the per-bit fan-out pattern dedup.py kernelized) computed in their OWN
+    map-only subplan; the bigram mode (explode_outer → partial-aggregated
+    groupBy on (doc, bigram) → per-doc row_number) runs separately and the
+    two join on doc_id. Keeping them separate is load-bearing: the r05
+    first cut carried the stats columns THROUGH the explode to save the
+    join, and Catalyst's collapsed projection re-evaluated every
+    interpreted aggregate-lambda once per bigram row (~n_words× per doc —
+    measured 21 s vs 4 s at sf0.1). Both sides are keyed by doc_id, so
+    skew is bounded by document length, never by corpus-wide token
+    frequency. Matches the DuckDB oracle bit-for-bit (driver row
+    ``doc_repetition_stats``)."""
     from pyspark.sql import Window
 
     text = F.col(text_col)
@@ -199,23 +204,21 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
         F.slice(words, 2, F.greatest(n_w - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    base = df.select(
+    stats = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(lines).cast("long").alias("n_lines"),
         F.size(F.array_distinct(lines)).cast("long").alias("n_distinct"),
         chars(lines).alias("line_chars"),
         chars(F.array_distinct(lines)).alias("d_chars"),
         chars(words).alias("word_chars"),
-        F.explode_outer(bigrams).alias("bigram"),
     )
-    carried = ["n_lines", "n_distinct", "line_chars", "d_chars", "word_chars"]
-    cnts = base.groupBy("doc_id", *carried, "bigram").agg(
-        F.count("bigram").alias("cnt")
-    )
+    base = df.select(F.col(id_col).alias("doc_id"), F.explode_outer(bigrams).alias("bigram"))
+    cnts = base.groupBy("doc_id", "bigram").agg(F.count("bigram").alias("cnt"))
     rnk = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.desc("bigram"))
     top = cnts.withColumn("rnk", F.row_number().over(rnk)).where(F.col("rnk") == 1)
+    joined = stats.join(top.select("doc_id", "bigram", "cnt"), "doc_id", "left")
     dbl = lambda c: c.cast("double")  # noqa: E731
-    return top.select(
+    return joined.select(
         "doc_id",
         "n_lines",
         F.round(dbl(F.col("n_lines") - F.col("n_distinct")) / F.greatest("n_lines", F.lit(1)), 6).alias("dup_line_frac"),

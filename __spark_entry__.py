@@ -1242,6 +1242,52 @@ def _q_emb_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample (data mixing): keep 50%
+    of clicks, 10% of views, drop everything else — same md5-derived
+    bucket draw as deterministic_split, reproduced exactly by DuckDB."""
+    from osm_public_space_mapper_spark.operators.curation import stratified_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return stratified_sample(
+        ev, "event_type", {"click": 0.5, "view": 0.1}, id_col="event_id"
+    ).select("event_id", "event_type", "user_id")
+
+
+def _stratified_sample_duck() -> str:
+    from osm_public_space_mapper_spark.operators.curation import (
+        stratified_sample_duckdb_sql,
+    )
+
+    return stratified_sample_duckdb_sql(
+        "events", "event_type", {"click": 0.5, "view": 0.1},
+        id_col="event_id", select="event_id, event_type, user_id",
+    )
+
+
+_ZORDER_SPECS = [("o_custkey", 0.0, 1500.0), ("o_totalprice", 0.0, 500000.0)]
+
+
+def _q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key over two order dimensions — the clustering key
+    `cluster_by_zorder` range-partitions by; pure bit-interleave
+    expressions, engine-portable."""
+    from osm_public_space_mapper_spark.operators.layout import zorder_key
+
+    o = _t(spark, sf_dir, "orders")
+    specs = [(F.col(c), lo, hi) for c, lo, hi in _ZORDER_SPECS]
+    return o.select("o_orderkey", zorder_key(specs, bits=16).alias("zval"))
+
+
+def _zorder_duck() -> str:
+    from osm_public_space_mapper_spark.operators.layout import zorder_duckdb_expr
+
+    return (
+        f"SELECT o_orderkey, CAST({zorder_duckdb_expr(_ZORDER_SPECS, bits=16)} AS BIGINT)"
+        " AS zval FROM orders"
+    )
+
+
 def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a BPE tokenizer on the documents table and return the top-50
     token vocabulary head (rows-only: the merge loop is inherently
@@ -1847,6 +1893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab_topk": _q_bpe_vocab,
         "pii_scrub": _q_pii_scrub,
         "deterministic_split": _q_split,
+        "stratified_sample_events": _q_stratified_sample,
+        "zorder_orders": _q_zorder,
         "source_quota_sample": _q_quota,
         "dup_span_stats": _q_dup_spans,
         "semantic_dedup": _q_semantic_dedup,
@@ -1910,6 +1958,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_token_topk": _TOKEN_TOPK_DUCK,
         "pii_scrub": _pii_duck(),
         "deterministic_split": _split_duck(),
+        "stratified_sample_events": _stratified_sample_duck(),
+        "zorder_orders": _zorder_duck(),
         "source_quota_sample": _quota_duck(),
         "dup_span_stats": _dup_spans_duck(),
         "semantic_dedup": _semantic_dedup_duck(),

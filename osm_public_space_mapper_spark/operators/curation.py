@@ -251,3 +251,60 @@ SELECT s.doc_id, s.n_tokens,
   CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
   ROUND(CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE) / GREATEST(s.n_tokens, 1), 6) AS dup_token_frac
 FROM sized s LEFT JOIN dcnt d USING (doc_id) LEFT JOIN ccnt c USING (doc_id)"""
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "s1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff
+    ``hash64(seed || ':' || id) mod 10000 < fraction * 10000`` for its
+    stratum — Spark's ``sampleBy`` semantics with the properties it lacks:
+    the SAME rows are kept on every rerun, at any parallelism, on any
+    engine (the hash is the portable md5-derived ``hash64``), and
+    appending new data never changes old keep/drop decisions. The draw is
+    shared with ``deterministic_split`` (same bucket), so a row's sample
+    membership is consistent with its split assignment.
+
+    ``fractions`` maps stratum value → keep fraction; unlisted strata use
+    ``default_fraction``. Pure map-side expression, zero shuffles."""
+    for v, f in fractions.items():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(f"fraction for {v!r} must be in [0,1], got {f}")
+    bucket = (
+        hash64(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+        % _BUCKETS
+    )
+    thresh = F.lit(int(round(default_fraction * _BUCKETS)))
+    for v, f in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == v, F.lit(int(round(f * _BUCKETS)))
+        ).otherwise(thresh)
+    return df.where(bucket < thresh)
+
+
+def stratified_sample_duckdb_sql(
+    table: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "s1",
+    default_fraction: float = 0.0,
+    select: str = "*",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` (same md5 hash, same
+    thresholds) for the hash-checked driver oracle."""
+    h = (
+        f"CAST(CONCAT('0x', substr(md5(CONCAT('{seed}', ':', "
+        f"CAST({id_col} AS VARCHAR))), 1, 15)) AS BIGINT) % {_BUCKETS}"
+    )
+    cases = " ".join(
+        f"WHEN {strata_col} = '{v}' THEN {int(round(f * _BUCKETS))}"
+        for v, f in sorted(fractions.items())
+    )
+    thresh = f"CASE {cases} ELSE {int(round(default_fraction * _BUCKETS))} END"
+    return f"SELECT {select} FROM {table} WHERE {h} < {thresh}"

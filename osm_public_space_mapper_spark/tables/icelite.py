@@ -345,6 +345,46 @@ class IceliteTable:
             rewrite, partition_col, stage=stage, base_manifests=carried
         )
 
+    def compact(
+        self,
+        spark,
+        min_files: int = 2,
+        partitions: list[str] | None = None,
+        stage: str = "compact",
+    ) -> dict:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` shape):
+        every partition with ≥ ``min_files`` data files is rewritten into
+        as few files as its size needs; single-file partitions carry over
+        untouched. Append-heavy tables (commit_resumable per micro-batch,
+        streaming foreachBatch sinks) accumulate small files whose open/
+        footer cost dominates scans at scale — compaction restores
+        one-file-per-partition locality WITHOUT changing table content:
+        row counts and the order-insensitive content hashes are preserved
+        per partition (asserted in tests), and prior snapshots still list
+        the old files (time travel intact; physical file GC is a separate
+        concern, as in Iceberg's expire_snapshots).
+
+        Only the affected partitions' files are read — manifest-pruned
+        scan, so compacting 1% of partitions touches 1% of bytes."""
+        from collections import Counter
+
+        snap = self.current_snapshot()
+        if not snap["manifests"]:
+            return snap
+        pcol = self.current_metadata()["partition_col"]
+        per_part = Counter(m["partition"] for m in snap["manifests"])
+        todo = {
+            p
+            for p, n in per_part.items()
+            if n >= min_files and (partitions is None or p in partitions)
+        }
+        if not todo:
+            return snap
+        paths = sorted(m["path"] for m in snap["manifests"] if m["partition"] in todo)
+        carried = [m for m in snap["manifests"] if m["partition"] not in todo]
+        rewrite = spark.read.parquet(*paths)
+        return self.commit(rewrite, pcol, stage=stage, base_manifests=carried)
+
     def commit_resumable(self, df, partition_col: str, stage: str = "default") -> dict:
         """Resume-aware commit: skips partitions already committed for this
         stage (anti-join on the checkpoint manifest) and appends the rest."""

@@ -162,3 +162,58 @@ def test_merge_noop_returns_current_snapshot(spark, table):
     snap = table.merge_into(spark, src, on="id", when_not_matched="ignore")
     assert snap["snapshot_id"] == before["snapshot_id"]
     assert _state(spark, table) == {i: (str(i % 4), i * 2) for i in range(8)}
+
+
+# ---------------------------------------------------------------------------
+# compact (small-file rewrite)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_preserves_content_and_reduces_files(spark, table):
+    # three appends → 3 files per partition
+    for lo in (0, 40, 80):
+        table.commit(_df(spark, lo, lo + 40), "part", stage=f"a{lo}")
+    before = table.lineage()
+    from collections import Counter
+
+    files_before = Counter(m["partition"] for m in before)
+    assert all(n == 3 for n in files_before.values())
+    hash_before = {}
+    rows_before = {}
+    for m in before:
+        hash_before[m["partition"]] = (
+            hash_before.get(m["partition"], 0) + m["content_hash"]
+        ) % (1 << 64)
+        rows_before[m["partition"]] = rows_before.get(m["partition"], 0) + m["row_count"]
+
+    s1 = table.current_snapshot()
+    table.compact(spark)
+    after = table.lineage()
+    files_after = Counter(m["partition"] for m in after)
+    assert set(files_after) == set(files_before)
+    assert all(n < 3 for n in files_after.values())
+    # content identity: per-partition row counts and wrap-around hash sums
+    for p in files_before:
+        assert sum(m["row_count"] for m in after if m["partition"] == p) == rows_before[p]
+        assert (
+            sum(m["content_hash"] for m in after if m["partition"] == p) % (1 << 64)
+            == hash_before[p]
+        )
+    assert _state(spark, table) == {i: (str(i % 4), i * 2) for i in range(120)}
+    # time travel: the pre-compaction snapshot still reads the old files
+    old = table.read(spark, snapshot_id=s1["snapshot_id"])
+    assert old.count() == 120
+
+
+def test_compact_skips_single_file_partitions(spark, table):
+    table.commit(_df(spark, 0, 40), "part", stage="a")
+    only9 = spark.range(200, 210).withColumn("part", F.lit("9")).withColumn("v", F.col("id"))
+    table.commit(only9, "part", stage="b")
+    table.commit(only9.withColumn("id", F.col("id") + 100), "part", stage="c")
+    before = {m["path"] for m in table.lineage() if m["partition"] != "9"}
+    table.compact(spark)
+    after = {m["path"] for m in table.lineage() if m["partition"] != "9"}
+    assert after == before  # 1-file partitions untouched
+    n9 = sum(1 for m in table.lineage() if m["partition"] == "9")
+    assert n9 == 1
+    assert table.read(spark).count() == 60

@@ -1242,6 +1242,35 @@ def _q_emb_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-3 event types per 10-minute window — the batch twin of
+    the streaming trending pattern (windowed_key_counts → topk_per_window);
+    stream/batch equality is pinned in tests/test_streaming.py, values
+    hash-checked here."""
+    from osm_public_space_mapper_spark.streaming.windows import (
+        topk_per_window,
+        windowed_key_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return topk_per_window(windowed_key_counts(ev, window="10 minutes"), k=3)
+
+
+_TRENDING_TOPK_DUCK = """
+WITH c AS (
+  SELECT CAST(FLOOR(FLOOR(epoch(ts)) / 600) * 600 AS BIGINT) AS window_start,
+         event_type AS key, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT window_start, key, cnt,
+         ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY cnt DESC, key ASC) AS rank
+  FROM c
+)
+SELECT window_start, key, cnt, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+"""
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum Bernoulli sample (data mixing): keep 50%
     of clicks, 10% of views, drop everything else — same md5-derived
@@ -1895,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_split": _q_split,
         "stratified_sample_events": _q_stratified_sample,
         "zorder_orders": _q_zorder,
+        "trending_topk_events": _q_trending_topk,
         "source_quota_sample": _q_quota,
         "dup_span_stats": _q_dup_spans,
         "semantic_dedup": _q_semantic_dedup,
@@ -1960,6 +1990,7 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_split": _split_duck(),
         "stratified_sample_events": _stratified_sample_duck(),
         "zorder_orders": _zorder_duck(),
+        "trending_topk_events": _TRENDING_TOPK_DUCK,
         "source_quota_sample": _quota_duck(),
         "dup_span_stats": _dup_spans_duck(),
         "semantic_dedup": _semantic_dedup_duck(),

@@ -98,3 +98,48 @@ def sessionize_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_key_counts(
+    events_stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-(window, key) event counts with a watermark — stage 1 of the
+    streaming trending-top-k pattern. Works identically on batch frames
+    (tumbling windows are plain expressions there), which is both the test
+    oracle and the DuckDB-hash-checked driver path.
+
+    Output key is ``window_start`` as epoch seconds (long): tumbling
+    windows align to the 1970 epoch, so `FLOOR(epoch(ts)/W)*W` reproduces
+    it exactly in any engine."""
+    s = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if s.isStreaming:
+        s = s.withWatermark(ts_col, watermark)
+    return (
+        s.groupBy(F.window(ts_col, window).alias("win"), key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).cast("long").alias("window_start"),
+            F.col(key_col).alias("key"),
+            "cnt",
+        )
+    )
+
+
+def topk_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Stage 2: rank keys inside each closed window (count desc, key asc).
+    Streaming append mode cannot rank an open window (rows would need
+    retraction), so the production shape is: stage 1 runs as the streaming
+    query, stage 2 runs over the materialized counts table per trigger
+    (foreachBatch) or downstream — the same split as the tombstone
+    consumer contract. Batch-equality is pinned in tests."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

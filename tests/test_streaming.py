@@ -566,3 +566,42 @@ def test_pii_scrub_streams_unchanged(spark, tmp_path):
         tuple(r) for r in pii_scrub(spark.createDataFrame(rows, schema)).collect()
     )
     assert got == want and len(got) == 4
+
+
+def test_trending_topk_stream_matches_batch(spark, tmp_path):
+    """Streaming trending top-k: availableNow windowed key counts + batch
+    rank equals the pure-batch twin on the closed windows."""
+    from pyspark.sql import functions as F
+
+    from osm_public_space_mapper_spark.streaming.windows import (
+        topk_per_window,
+        windowed_key_counts,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    src = str(tmp_path / "events_src_topk")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        windowed_key_counts(stream, window="10 minutes", watermark="30 minutes")
+        .writeStream.format("memory").queryName("trend_counts")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "ck_topk"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    stream_counts = spark.sql("SELECT * FROM trend_counts")
+    got = {
+        (r.window_start, r.rank): (r.key, r.cnt)
+        for r in topk_per_window(stream_counts, k=3).collect()
+    }
+    batch = topk_per_window(windowed_key_counts(events), k=3)
+    expected = {(r.window_start, r.rank): (r.key, r.cnt) for r in batch.collect()}
+    assert got
+    closed_windows = {w for w, _ in got}
+    # every closed window's top-k must match the batch twin exactly
+    for (w, rank), v in expected.items():
+        if w in closed_windows:
+            assert got[(w, rank)] == v, (w, rank, v, got.get((w, rank)))
+    # almost all windows closed under availableNow (tail may stay open)
+    all_windows = {w for w, _ in expected}
+    assert len(closed_windows) >= len(all_windows) - 4

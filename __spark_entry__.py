@@ -1791,6 +1791,20 @@ def _q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only container metadata (no decode): magic-byte format,
+    IHDR/SOF geometry, text chunks (rows-only; byte-level oracle in
+    tests/test_images_codec.py)."""
+    from osm_public_space_mapper_spark.operators.imageops import image_metadata
+
+    images = _images(spark, 200, with_pixels=True)
+    m = image_metadata(images)
+    return m.select(
+        "image_id", "fmt_detected", "meta_width", "meta_height",
+        "bit_depth", "n_channels", "parse_ok",
+    )
+
+
 def _q_image_multihash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dHash near-dup pairs over decoded pixels: one decode pass computes
     all three hash families; the banded join runs on the dHash column
@@ -1958,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_invariants": _q_image_invariants,
         "image_features": _q_image_features,
         "image_quality": _q_image_quality,
+        "image_metadata": _q_image_metadata,
         "image_dhash_dups": _q_image_multihash_dups,
         "image_phash_dups": _q_image_phash_dups,
         "transcode_jpeg": _q_transcode_jpeg,

@@ -498,3 +498,75 @@ def image_quality(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(_q, _QUALITY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# header-only metadata extraction (no decode)
+# ---------------------------------------------------------------------------
+
+_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("fmt_declared", T.StringType()),
+        T.StructField("fmt_detected", T.StringType()),
+        T.StructField("meta_width", T.IntegerType()),
+        T.StructField("meta_height", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("progressive", T.BooleanType()),
+        T.StructField("interlaced", T.BooleanType()),
+        T.StructField("crc_ok", T.BooleanType()),
+        T.StructField("texts", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("parse_ok", T.BooleanType()),
+        T.StructField("parse_error", T.StringType()),
+    ]
+)
+
+
+def image_metadata(images: DataFrame) -> DataFrame:
+    """Container metadata per image WITHOUT decoding pixels: magic-byte
+    format detection (vs the declared `fmt` — mismatches flag mislabeled
+    rows before any decode kernel pays for them), PNG IHDR/tEXt chunk
+    walk, JPEG SOFn marker walk. Header-parse cost only — at ingest scale
+    (every blob, once) this is orders cheaper than `with_decode_status`'s
+    full decode, and the two compose: metadata gate first, decode gate on
+    the survivors."""
+    from ..images.metadata import parse_jpeg_header, parse_png_header, sniff_format
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in _METADATA_SCHEMA.fields}
+            for image_id, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                data = bytes(blob)
+                detected = sniff_format(data)
+                vals = dict.fromkeys(rows)
+                vals.update(
+                    image_id=image_id, fmt_declared=fmt, fmt_detected=detected,
+                    parse_ok=True, parse_error=None,
+                )
+                try:
+                    if detected == "png":
+                        m = parse_png_header(data)
+                        vals.update(
+                            meta_width=m["width"], meta_height=m["height"],
+                            bit_depth=m["bit_depth"], n_channels=m["n_channels"],
+                            progressive=False, interlaced=m["interlaced"],
+                            crc_ok=m["crc_ok"], texts=m["texts"],
+                        )
+                    elif detected == "jpeg":
+                        m = parse_jpeg_header(data)
+                        vals.update(
+                            meta_width=m["width"], meta_height=m["height"],
+                            bit_depth=m["bit_depth"], n_channels=m["n_channels"],
+                            progressive=m["progressive"], interlaced=False,
+                            crc_ok=None, texts={},
+                        )
+                    else:
+                        vals.update(texts={})
+                except Exception as e:  # noqa: BLE001 — typed into the row
+                    vals.update(parse_ok=False, parse_error=f"{type(e).__name__}: {e}", texts={})
+                for k, v in vals.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(_meta, _METADATA_SCHEMA)

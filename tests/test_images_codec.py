@@ -355,3 +355,62 @@ def test_image_quality_scores(spark):
     assert got["flat"].entropy == 0.0
     assert got["flat"].dynamic_range == 0.0
     assert got["sharp"].dynamic_range > 200.0
+
+
+def test_image_metadata_header_only(spark):
+    """Header-only metadata: PNG IHDR/tEXt and JPEG SOF fields extracted
+    without decode; mislabeled fmt detected from magic bytes; corrupt CRC
+    and truncated chunks surface as typed parse rows, not task failures."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_public_space_mapper_spark.images.codec import (
+        encode_jpeg,
+        encode_png,
+        synth_pixels,
+    )
+    from osm_public_space_mapper_spark.images.metadata import (
+        encode_png_texts,
+        parse_jpeg_header,
+        parse_png_header,
+    )
+    from osm_public_space_mapper_spark.operators.imageops import image_metadata
+
+    px = synth_pixels(7, 24, 16)
+    png = encode_png(px)
+    png_tagged = encode_png_texts(px, {"caption": "a test image", "source": "synthetic"})
+    jpg = encode_jpeg(px, quality=85)
+    bad_crc = bytearray(png)
+    bad_crc[8 + 12 + 13 - 1] ^= 0xFF  # corrupt IHDR's CRC byte
+    truncated = png[: len(png) // 2]
+
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["plain", "tagged", "jpeg", "mislabeled", "badcrc", "trunc"],
+            "bytes": [png, png_tagged, jpg, jpg, bytes(bad_crc), truncated],
+            "fmt": ["png", "png", "jpeg", "png", "png", "png"],  # mislabeled: jpeg bytes
+        }
+    )
+    got = {r.image_id: r for r in image_metadata(spark.createDataFrame(pdf)).collect()}
+
+    assert got["plain"].parse_ok and got["plain"].fmt_detected == "png"
+    assert (got["plain"].meta_width, got["plain"].meta_height) == (24, 16)
+    assert got["plain"].bit_depth == 8 and got["plain"].n_channels == 3
+    assert got["plain"].crc_ok and not got["plain"].interlaced
+
+    assert dict(got["tagged"].texts) == {"caption": "a test image", "source": "synthetic"}
+    # ...and the tagged PNG still header-parses consistently with the raw parser
+    m = parse_png_header(png_tagged)
+    assert (m["width"], m["height"]) == (24, 16)
+
+    assert got["jpeg"].fmt_detected == "jpeg" and got["jpeg"].parse_ok
+    assert (got["jpeg"].meta_width, got["jpeg"].meta_height) == (24, 16)
+    assert got["jpeg"].progressive is False
+    assert parse_jpeg_header(jpg)["n_channels"] == 3
+
+    # declared png, actually jpeg — detection follows the bytes
+    assert got["mislabeled"].fmt_declared == "png"
+    assert got["mislabeled"].fmt_detected == "jpeg" and got["mislabeled"].parse_ok
+
+    assert got["badcrc"].parse_ok and got["badcrc"].crc_ok is False
+    assert not got["trunc"].parse_ok and "truncated" in got["trunc"].parse_error

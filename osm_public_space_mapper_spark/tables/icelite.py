@@ -188,6 +188,8 @@ class IceliteTable:
             "schema": schema_json,
             "partition_col": partition_col,
         }
+        if prev.get("added_columns"):
+            new_meta["added_columns"] = prev["added_columns"]
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(new_meta, f)
@@ -204,7 +206,9 @@ class IceliteTable:
     def read(self, spark, partitions: list[str] | None = None,
              snapshot_id: int | None = None):
         """Read the current snapshot, or a historical one via `snapshot_id`
-        (Iceberg-style time travel: VERSION AS OF)."""
+        (Iceberg-style time travel: VERSION AS OF). Columns added after a
+        file was written (`add_column`) are projected onto old files at
+        scan time with their declared default — no data rewrite."""
         snap = self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
         paths = [
             m["path"]
@@ -216,7 +220,39 @@ class IceliteTable:
         # manifest-driven pruning: only the listed data files are touched;
         # the partition column is stored inside each file (Iceberg-style,
         # no hive-dir recovery needed)
-        return spark.read.parquet(*sorted(paths))
+        df = spark.read.option("mergeSchema", "true").parquet(*sorted(paths))
+        meta = self.current_metadata()
+        for col in meta.get("added_columns", []):
+            from pyspark.sql import functions as F
+
+            name, dtype, default = col["name"], col["type"], col["default"]
+            if name in df.columns:
+                # old files surface NULL for the missing column; the
+                # declared default fills them (Iceberg initial-default)
+                df = df.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(default).cast(dtype))
+                )
+            else:
+                df = df.withColumn(name, F.lit(default).cast(dtype))
+        return df
+
+    def add_column(self, name: str, dtype: str, default=None) -> dict:
+        """Metadata-only schema evolution (Iceberg ADD COLUMN with an
+        initial default): no data file is touched. Old files yield the
+        default at read time; new commits may carry the column for real.
+        Returns the updated metadata dict."""
+        meta = self.current_metadata()
+        existing = {c["name"] for c in meta.get("added_columns", [])}
+        if name in existing:
+            raise ValueError(f"column {name!r} already added")
+        meta.setdefault("added_columns", []).append(
+            {"name": name, "type": dtype, "default": default}
+        )
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path())
+        return meta
 
     def lineage(self) -> list[dict]:
         return self.current_snapshot()["manifests"]

@@ -217,3 +217,33 @@ def test_compact_skips_single_file_partitions(spark, table):
     n9 = sum(1 for m in table.lineage() if m["partition"] == "9")
     assert n9 == 1
     assert table.read(spark).count() == 60
+
+
+# ---------------------------------------------------------------------------
+# add_column (metadata-only schema evolution)
+# ---------------------------------------------------------------------------
+
+
+def test_add_column_defaults_old_files(spark, table):
+    table.commit(_df(spark, 0, 20), "part", stage="era1")
+    table.add_column("quality", "double", default=1.0)
+    # old files: every row surfaces the default, no file rewritten
+    paths_before = {m["path"] for m in table.lineage()}
+    out = table.read(spark)
+    assert "quality" in out.columns
+    assert {r.quality for r in out.collect()} == {1.0}
+    assert {m["path"] for m in table.lineage()} == paths_before
+    # new era carries the column for real; old rows keep the default
+    era2 = (
+        spark.range(100, 110)
+        .withColumn("part", F.lit("9"))
+        .withColumn("v", F.col("id"))
+        .withColumn("quality", F.lit(0.5))
+    )
+    table.commit(era2, "part", stage="era2")
+    got = {r.id: r.quality for r in table.read(spark).collect()}
+    assert all(got[i] == 1.0 for i in range(20))
+    assert all(got[i] == 0.5 for i in range(100, 110))
+    # duplicate add rejected
+    with pytest.raises(ValueError):
+        table.add_column("quality", "double", default=2.0)

@@ -1415,6 +1415,28 @@ SELECT query_id, vec_id, adist_micro, CAST(rank AS INT) AS rank FROM (
 )
 
 
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: persisted inverted lists of PQ codes, manifest-pruned probe
+    reads, ADC scoring (rows-only: the k-means trainers are iterative; the
+    IVF and PQ halves are individually hash-checked by `ivf_topk` /
+    `pq_topk`, and the composed path is pinned exactly vs numpy in
+    tests/test_dedup_similarity.py)."""
+    import tempfile
+
+    from osm_public_space_mapper_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    build_ivfpq_index(emb, path, n_lists=8, m=16, ksub=32, sample=500, iters=8)
+    return ivfpq_topk(spark, path, queries, k=5, nprobe=3)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash64(_t(spark, sf_dir, "documents"), bits=64)
 
@@ -1965,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_emb_ivf,
         "pq_codes": _q_pq_codes,
         "pq_topk": _q_pq_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
         # spatial / image engine ops (rows-only here; numpy-oracled in tests/)
         "pip_assign_counts": _q_pip_counts,
         "knn_walkable": _q_knn,

@@ -627,3 +627,68 @@ def test_pq_trained_beats_seed_distortion_and_recalls(spark):
         top = set(ids[np.lexsort((ids, exact_d))[:5]].tolist())
         recalls.append(len(top & got[qr.vec_id]) / 5.0)
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ivfpq_index_prunes_and_recalls(spark, tmp_path):
+    """IVF-PQ: the probed scan reads ONLY nprobe lists' files, scoring uses
+    only stored codes (no embedding column in the index), results match a
+    numpy IVF+ADC reference exactly, and recall@5 vs exact L2 stays above
+    the regression floor."""
+    import numpy as np
+
+    from osm_public_space_mapper_spark.operators.similarity import (
+        _ivf_assign_series,
+        _pq_encode_matrix,
+        _pq_micro,
+        build_ivfpq_index,
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from osm_public_space_mapper_spark.tables.icelite import IceliteTable
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, n_lists=8, m=16, ksub=32, sample=500, iters=8)
+    assert "embedding" not in IceliteTable(path).read(spark).columns
+
+    out = ivfpq_topk(spark, path, queries, k=5, nprobe=3)
+    got = {(r.query_id, r.rank): (r.vec_id, r.adist_micro) for r in out.collect()}
+    # pruning evidence: the scan under the result touches ≤ 3 lists' files
+    probed_files = {f for f in out.inputFiles() if "/data/" in f}
+    all_files = {m_["path"] for m_ in IceliteTable(path).lineage()}
+    assert 0 < len(probed_files) < len(all_files)
+
+    # numpy reference: same centroids/codebooks (deterministic trainers)
+    cents = train_ivf_centroids(emb, 8, 500, 8)
+    books = np.asarray(train_pq_codebooks(emb, 16, 32, 500, 8))
+    rows = emb.orderBy("vec_id").collect()
+    v = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    lists = np.array(
+        [a[0] for a in _ivf_assign_series(cents, __import__("pandas").Series(list(v)), 1)]
+    )
+    codes = _pq_encode_matrix(v, books)
+    want = {}
+    recalls = []
+    for qr in [r for r in rows if r.vec_id % 100 == 0]:
+        qv = np.asarray(qr.embedding, dtype=np.float64)
+        probe = set(
+            _ivf_assign_series(cents, __import__("pandas").Series([qv]), 3)[0]
+        )
+        mask = np.isin(lists, list(probe))
+        lut = _pq_micro(((qv.reshape(16, 4)[:, None, :] - books) ** 2).sum(-1))
+        adist = lut[np.arange(16)[:, None], codes[mask].T].sum(axis=0)
+        sel_ids = ids[mask]
+        order = np.lexsort((sel_ids, adist))
+        for rank, i in enumerate(order[:5], start=1):
+            want[(qr.vec_id, rank)] = (int(sel_ids[i]), int(adist[i]))
+        exact_d = ((v - qv) ** 2).sum(axis=1)
+        top = set(ids[np.lexsort((ids, exact_d))[:5]].tolist())
+        approx = {int(sel_ids[i]) for i in order[:5]}
+        recalls.append(len(top & approx) / 5.0)
+    assert got == want
+    assert sum(recalls) / len(recalls) >= 0.4, recalls

@@ -1242,6 +1242,37 @@ def _q_emb_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM surprisal per document (CCNet-style quality signal);
+    integer micro-nat sums keep both engines bit-identical."""
+    return TXT.unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+_SURPRISAL_DUCK = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS n_total FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         CAST(FLOOR(ln(CAST(n_total AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+  FROM toks t JOIN vocab USING (tok) CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp) AS total_surprisal_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.total_surprisal_micro, 0) AS BIGINT) AS total_surprisal_micro,
+       CASE WHEN COALESCE(p.n_tokens, 0) > 0
+            THEN CAST(FLOOR(CAST(p.total_surprisal_micro AS DOUBLE) / p.n_tokens) AS BIGINT)
+            ELSE 0 END AS avg_surprisal_micro
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 def _q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending top-3 event types per 10-minute window — the batch twin of
     the streaming trending pattern (windowed_key_counts → topk_per_window);
@@ -1952,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fingerprints": _q_winnow,
         "doc_word_stats": _q_word_stats,
         "doc_repetition_stats": _q_repetition,
+        "doc_surprisal": _q_surprisal,
         "doc_quality_gate": _q_quality_gate,
         "corpus_line_dedup": _q_line_dedup,
         "corpus_token_topk": _q_token_topk,
@@ -2021,6 +2053,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow_fingerprints": _WINNOW_DUCK,
         "doc_word_stats": _WORD_STATS_DUCK,
         "doc_repetition_stats": _REPETITION_DUCK,
+        "doc_surprisal": _SURPRISAL_DUCK,
         "doc_quality_gate": _QUALITY_GATE_DUCK,
         "corpus_line_dedup": _LINE_DEDUP_DUCK,
         "corpus_token_topk": _TOKEN_TOPK_DUCK,

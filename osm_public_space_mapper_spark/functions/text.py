@@ -305,3 +305,55 @@ def corpus_token_topk(df, k: int = 50, id_col: str = "doc_id", text_col: str = "
 
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def unigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document unigram LM surprisal — the CCNet-style (Wenzek et al.
+    2020) language-model quality signal at unigram order: documents whose
+    tokens are corpus-typical score low, gibberish / wrong-language / OCR
+    noise scores high. The LM is the corpus itself (no OOV by
+    construction); production pipelines swap in a reference-corpus vocab
+    the same way (broadcast or join the frequency table).
+
+    Per doc: ``n_tokens``, ``total_surprisal_micro`` = Σ floor(ln(N/cnt(t))
+    · 1e6) over tokens (integer micro-nats — integer sums are
+    order-independent so engines agree), and ``avg_surprisal_micro`` =
+    floor(total / n).
+
+    Scale shape: ONE token explode feeds both the vocabulary count
+    (map-side combined groupBy) and the scoring join; the total-count side
+    is a one-row aggregate cross-joined in. The token join is keyed by
+    token — stopword-grade keys are hot but the payload is one long per
+    row and AQE splits skewed partitions. Hash-checked vs DuckDB (driver
+    row ``doc_surprisal``)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    scored = toks.join(vocab, "tok").crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        F.floor(
+            F.log(F.col("n_total").cast("double") / F.col("cnt").cast("double"))
+            * F.lit(1_000_000.0)
+        ).cast("long").alias("lp_micro"),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lp_micro").alias("total_surprisal_micro"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("total_surprisal_micro", F.lit(0)).cast("long").alias("total_surprisal_micro"),
+        F.when(
+            F.coalesce("n_tokens", F.lit(0)) > 0,
+            F.floor(
+                F.col("total_surprisal_micro").cast("double") / F.col("n_tokens")
+            ).cast("long"),
+        ).otherwise(F.lit(0)).alias("avg_surprisal_micro"),
+    )

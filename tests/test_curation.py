@@ -122,3 +122,40 @@ def test_dup_span_stats_handcrafted(spark):
 
     d4 = got[4]
     assert d4["n_tokens"] == 0 and d4["n_ngrams"] == 0 and d4["dup_token_frac"] == 0.0
+
+
+def test_unigram_surprisal_semantics(spark):
+    """Corpus-typical docs score low, gibberish scores high; values match a
+    python reference exactly (integer micro-nats)."""
+    import math
+
+    from osm_public_space_mapper_spark.functions.text import unigram_surprisal
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the mat"),
+        (3, "zyxqv fnord blarg"),  # singleton tokens → max surprisal
+        (4, ""),                   # empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.total_surprisal_micro, r.avg_surprisal_micro)
+        for r in unigram_surprisal(df).collect()
+    }
+
+    import re
+
+    toks = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in rows}
+    vocab = {}
+    for ts in toks.values():
+        for t in ts:
+            vocab[t] = vocab.get(t, 0) + 1
+    n_total = sum(vocab.values())
+    want = {}
+    for d, ts in toks.items():
+        lps = [math.floor(math.log(n_total / vocab[t]) * 1_000_000) for t in ts]
+        total = sum(lps)
+        want[d] = (len(ts), total, math.floor(total / len(ts)) if ts else 0)
+    assert got == want
+    assert got[4] == (0, 0, 0)
+    assert got[3][2] > got[1][2]  # gibberish scores above typical prose

@@ -74,9 +74,13 @@ def _images(spark, n: int):
 
 
 PIP_SALT = int(os.environ.get("BENCH_SALT", "8"))
+# r05: the sandbox killed two ~25-min 2-core scaling runs mid-flight (JVM
+# shutdown hook fired externally); BENCH_TRIALS=1 cuts the level to
+# warm-up + 1 timed pass + hash (3 joins instead of 4) to stay under it
+PIP_TRIALS = int(os.environ.get("BENCH_TRIALS", "2"))
 
 
-def pip_phase(spark, tiles, images, n: int, trials: int = 2) -> tuple[float, int]:
+def pip_phase(spark, tiles, images, n: int, trials: int = PIP_TRIALS) -> tuple[float, int]:
     """Timed J12: cell-bucketed raster PIP (tile-mask lookup), hotspot cells
     salted into PIP_SALT uniform sub-groups. One warm-up run (python-worker
     spawn, cache first touch), then best of `trials`."""
@@ -255,6 +259,7 @@ def run_full() -> dict:
         "asof_join_events",
         "range_join_events",
         "pq_topk",
+        "doc_surprisal",
     ):
         t = time.time()
         qmap[name](spark, SF_DIR).count()

@@ -112,6 +112,32 @@ def cell_udf(res: int):
     return _cell
 
 
+def cell_expr(res: int):
+    """Pure-Catalyst twin of `cell_udf`: (x, y) LAEA metres → int64 cell id
+    with NO Python boundary. Same arithmetic as cells.grid.encode_cells —
+    FLOOR(double/double) is IEEE-identical in numpy and whole-stage codegen,
+    and the mask/shift layout is the same two's-complement int64 math — so
+    the ids are bit-identical (asserted in tests/test_image_joins.py).
+
+    Replacing the pandas UDF removes an ArrowEvalPython node per call site
+    from the hot join paths; the optimizer had also been duplicating that
+    UDF around join-key null filters (two Python passes per row)."""
+    side = float(2 ** (18 - res))
+    mask = (1 << 29) - 1
+
+    def _cell(x, y):
+        ix = F.floor(x / F.lit(side)).cast("long")
+        iy = F.floor(y / F.lit(side)).cast("long")
+        return (
+            F.lit(res << 58)
+            .cast("long")
+            .bitwiseOR(F.shiftleft(ix.bitwiseAND(F.lit(mask)), 29))
+            .bitwiseOR(iy.bitwiseAND(F.lit(mask)))
+        )
+
+    return _cell
+
+
 def lonlat_cell_udf(res: int):
     """(lon, lat) EPSG:4326 → int64 cell id (projects then encodes)."""
 

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 
 from ..cells.grid import RES_FINE
 from ..fixtures.elements import BBOX_4326
-from ..functions.geometry import cells_covering_bbox_udf, lonlat_cell_udf, st_bbox
+from ..functions.geometry import cells_covering_bbox_udf, st_bbox
 from ..geo.arrowgeom import np_parts
 from ..geo.kernels import points_in_polygon, ring_signed_area
 
@@ -51,11 +51,19 @@ def with_geotag(images: DataFrame) -> DataFrame:
 
 
 def with_cells(images: DataFrame, res: int = JOIN_RES_DEFAULT, coarse_res: int = 7) -> DataFrame:
-    """Attach join cell + coarse partition-pruning cell (cell7)."""
-    cell = lonlat_cell_udf(res)
-    cell7 = lonlat_cell_udf(coarse_res)
-    return images.withColumn("cell", cell(F.col("lon"), F.col("lat"))).withColumn(
-        "cell7", cell7(F.col("lon"), F.col("lat"))
+    """Attach join cell + coarse partition-pruning cell (cell7).
+
+    Precondition: projected ``x, y`` are present (``project_points`` — every
+    caller already runs it first). Encoding from x/y in pure Catalyst
+    expressions is bit-identical to the old lon/lat pandas UDF (the UDF
+    re-ran the same laea_forward on the same doubles) and removes an
+    ArrowEvalPython node from every image-table build."""
+    from ..functions.geometry import cell_expr
+
+    cell = cell_expr(res)
+    cell7 = cell_expr(coarse_res)
+    return images.withColumn("cell", cell(F.col("x"), F.col("y"))).withColumn(
+        "cell7", cell7(F.col("x"), F.col("y"))
     )
 
 
@@ -216,7 +224,7 @@ def pip_join_raster(
     Cost per tile group: unpack each class mask once + O(1) per image —
     independent of polygon complexity. Shuffle key = tile cell; the mask side
     is hinted shuffle_hash (broadcast-free)."""
-    from ..functions.geometry import cell_udf
+    from ..functions.geometry import cell_expr
 
     id_type = dict(images.dtypes)[id_col]
     # x,y are already projected (project_points precondition) — encode the
@@ -225,7 +233,7 @@ def pip_join_raster(
     # by tile_cell (tables/bucketed.py) then reach the cogroup with their
     # bucket partitioning intact → zero Exchange in the plan.
     if "tile_cell" not in images.columns:
-        images = images.withColumn("tile_cell", cell_udf(group_res)(F.col("x"), F.col("y")))
+        images = images.withColumn("tile_cell", cell_expr(group_res)(F.col("x"), F.col("y")))
     imgs = images.select(
         F.col(id_col).alias("image_id"), "x", "y", "tile_cell"
     )
@@ -471,10 +479,10 @@ def knn_join(
         neigh = neighbors(base, ring)
         return pd.Series(list(neigh), index=cx.index).map(lambda a: a.tolist())
 
-    from ..functions.geometry import cell_udf
+    from ..functions.geometry import cell_expr
 
     cands = centroids.withColumn("cell", F.explode(_neighbor_cells(F.col("cx"), F.col("cy"))))
-    imgs = images.withColumn("knn_cell", cell_udf(res)(F.col("x"), F.col("y")))
+    imgs = images.withColumn("knn_cell", cell_expr(res)(F.col("x"), F.col("y")))
     # broadcast-free: never let the (potentially 10^12-row) image side be
     # size-estimated into a broadcast; shuffle both sides on the cell key
     joined = imgs.join(cands.hint("shuffle_hash"), imgs["knn_cell"] == cands["cell"]).select(

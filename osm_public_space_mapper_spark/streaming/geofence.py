@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["mask_bit", "pip_join_expr", "geofence_stream"]
+__all__ = ["mask_bit", "mask_word_bit", "with_mask_words", "pip_join_expr", "geofence_stream"]
 
 
 def mask_bit(
@@ -57,6 +57,61 @@ def mask_bit(
               cast(conv(hex(substring({mask}, cast((_cy * mask_w + _cx) DIV 8 AS int) + 1, 1)), 16, 10) AS int),
               cast(7 - (_cy * mask_w + _cx) % 8 AS int)
             ) & 1
+          ELSE NULL
+        END
+        """
+    )
+
+
+def with_mask_words(tiles_sub: DataFrame) -> DataFrame:
+    """Attach ``mask_words array<long>``: the packed mask bit stream as
+    big-endian 64-bit words (bit i of the row-major MSB-first np.packbits
+    stream is bit ``63 - i%64`` of word ``i//64``), via ONE Arrow pass over
+    the tiny static mask side.
+
+    This trades the per-point byte extraction
+    ``conv(hex(substring(mask, ...)))`` — three string allocations per
+    tested point inside the join condition — for a per-point
+    ``element_at(array<long>) >> k & 1`` that whole-stage codegen compiles
+    to array indexing. The words add zero payload vs the binary mask (same
+    bits, 8-byte granularity) and are computed once per MASK row, not per
+    point."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    def _words(batches):
+        for pdf in batches:
+            ws = []
+            for m in pdf["mask"]:
+                b = np.frombuffer(m, dtype=np.uint8)
+                pad = (-len(b)) % 8
+                if pad:
+                    b = np.concatenate([b, np.zeros(pad, np.uint8)])
+                # big-endian u64 view → native u64 → reinterpret as two's-
+                # complement int64 (LongType)
+                ws.append(b.view(">u8").astype("u8").view("i8"))
+            pdf = pdf.copy()
+            pdf["mask_words"] = ws
+            yield pdf
+
+    schema = T.StructType(
+        list(tiles_sub.schema) + [T.StructField("mask_words", T.ArrayType(T.LongType()))]
+    )
+    return tiles_sub.mapInPandas(_words, schema)
+
+
+def mask_word_bit(x: str = "x", y: str = "y") -> Column:
+    """Bit (0/1 int) of the class mask under (x, y), reading the
+    ``mask_words`` long-array column (see with_mask_words). NULL outside the
+    mask window — same contract as ``mask_bit``, cheap codegen body."""
+    return F.expr(
+        f"""
+        CASE
+          WHEN _cx >= 0 AND _cx < mask_w AND _cy >= 0 AND _cy < mask_h THEN
+            cast(shiftrightunsigned(
+              element_at(mask_words, cast((_cy * mask_w + _cx) DIV 64 AS int) + 1),
+              cast(63 - (_cy * mask_w + _cx) % 64 AS int)
+            ) & 1 AS int)
           ELSE NULL
         END
         """
@@ -90,12 +145,16 @@ def pip_join_expr(
     same contract as ``pip_join_raster`` (layer masks are disjoint, so in
     practice exactly one row per covered point).
     """
-    from ..functions.geometry import cell_udf
+    from ..functions.geometry import cell_expr
 
     if "tile_cell" not in points.columns:
-        points = points.withColumn("tile_cell", cell_udf(group_res)(F.col("x"), F.col("y")))
-    right = tiles_sub.select(
-        "tile_cell", "space_category", "access", "mask", "mask_w", "mask_h", "ox", "oy", "px"
+        points = points.withColumn("tile_cell", cell_expr(group_res)(F.col("x"), F.col("y")))
+    right = with_mask_words(
+        tiles_sub.select(
+            "tile_cell", "space_category", "access", "mask", "mask_w", "mask_h", "ox", "oy", "px"
+        )
+    ).select(
+        "tile_cell", "space_category", "access", "mask_words", "mask_w", "mask_h", "ox", "oy", "px"
     )
     if broadcast_tiles:
         right = F.broadcast(right)
@@ -105,7 +164,7 @@ def pip_join_expr(
         right, "tile_cell", "inner"
     )
     joined = _with_pixel_coords(joined, "x", "y")
-    hit = joined.where(mask_bit() == 1)
+    hit = joined.where(mask_word_bit() == 1)
     return hit.select(id_col, "space_category", "access", "tile_cell", *passthrough)
 
 

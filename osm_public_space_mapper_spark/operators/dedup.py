@@ -155,6 +155,7 @@ def salted_band_pairs(
     payload: list[str],
     max_bucket: int,
     id_col: str = "doc_id",
+    keep_keys: bool = False,
 ) -> DataFrame:
     """Exact unordered within-bucket pairs with a DECLARATIVE hot-bucket
     guard — one plan, zero driver-side actions.
@@ -185,8 +186,10 @@ def salted_band_pairs(
     Returns (doc_a, doc_b, <p>_a, <p>_b ...) with doc_a < doc_b (by the
     id column's natural ordering — `id_col` may be any orderable type, e.g.
     string image ids) and payload aligned to the ordered ids; a pair appears
-    once per bucket it co-occurs in (dedup across buckets is the caller's
-    groupBy)."""
+    once per bucket it co-occurs in. Cross-bucket dedup is the caller's:
+    either a groupBy, or — cheaper, no extra Exchange — an emit-at-first-band
+    filter over the carried fingerprints (pass keep_keys=True to get the key
+    columns on the pair rows for that)."""
     salted = _salted_blocks(bands, keys, max_bucket, id_col)
     l, r = salted.alias("l"), salted.alias("r")
     lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
@@ -202,6 +205,8 @@ def salted_band_pairs(
     for p in payload:
         out_cols.append(F.when(swap, F.col(f"l.{p}")).otherwise(F.col(f"r.{p}")).alias(f"{p}_a"))
         out_cols.append(F.when(swap, F.col(f"r.{p}")).otherwise(F.col(f"l.{p}")).alias(f"{p}_b"))
+    if keep_keys:
+        out_cols.extend(F.col(f"l.{k}").alias(k) for k in keys)
     return l.join(r, [*keys, "blk_a", "blk_b"]).filter(keep).select(*out_cols)
 
 
@@ -233,35 +238,53 @@ def minhash_lsh_pairs(
     first and feed the bands from the scan."""
     profiles = doc_shingle_profiles(documents, n)
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    # 8-byte band signature (xxhash64 of the band's minhash run) instead of
-    # a 32-char md5 string: same bucket semantics up to hash collisions,
-    # quarter the shuffle-key payload
+
+    def _band_sig(mh_col, b: int):
+        # 8-byte band signature (xxhash64 of the band's minhash run) instead
+        # of a 32-char md5 string: same bucket semantics up to hash
+        # collisions, quarter the shuffle-key payload
+        return F.xxhash64(
+            F.concat_ws(
+                ",",
+                *[F.element_at(mh_col, b * rows_per_band + i + 1) for i in range(rows_per_band)],
+            )
+        )
+
     bands = profiles.select(
         "doc_id",
         "shh",
+        "minhashes",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[F.element_at("minhashes", b * rows_per_band + i + 1) for i in range(rows_per_band)],
-                            )
-                        ).alias("sig"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _band_sig(F.col("minhashes"), b).alias("sig"))
                     for b in range(MINHASH_BANDS)
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", "shh", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    pairs = salted_band_pairs(bands, ["band", "sig"], ["shh"], max_bucket)
+    ).select(
+        "doc_id", "shh", "minhashes", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    pairs = salted_band_pairs(
+        bands, ["band", "sig"], ["shh", "minhashes"], max_bucket, keep_keys=True
+    )
+    # cross-band dedup WITHOUT a shuffle (r06): carry the signatures'
+    # SOURCE (the minhash array, 12 longs) on each pair row and emit a pair
+    # only from its first matching band — the same sig function decides
+    # bucketing and the filter, so hash collisions stay consistent. This
+    # removes the groupBy Exchange that used to shuffle every candidate
+    # pair twice over with both full shingle-hash arrays as payload.
+    first_band = F.when(
+        _band_sig(F.col("minhashes_a"), 0) == _band_sig(F.col("minhashes_b"), 0), 0
+    )
+    for b in range(1, MINHASH_BANDS):
+        first_band = first_band.when(
+            _band_sig(F.col("minhashes_a"), b) == _band_sig(F.col("minhashes_b"), b), b
+        )
     return (
-        pairs.groupBy("doc_a", "doc_b")
-        .agg(F.first("shh_a").alias("sh_a"), F.first("shh_b").alias("sh_b"))
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
+        pairs.filter(F.col("band") == first_band)
+        .withColumn("n_inter", F.size(F.array_intersect("shh_a", "shh_b")))
+        .withColumn("n_union", F.size(F.array_union("shh_a", "shh_b")))
         .withColumn("jaccard", F.round(F.col("n_inter") / F.col("n_union"), 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -586,11 +609,11 @@ def embedding_dups_lsh(
     differ in > `multiprobe` positions — recall is measured in
     tests/test_dedup_similarity.py; suited to high thresholds where candidate
     pruning is strong. The exact block-grid path is `embedding_dups`."""
-    from .similarity import _projection_matrix, lsh_bucket_expr
+    from .similarity import _projection_matrix, lsh_bucket_udf
 
     planes = _projection_matrix(dim, n_bits, seed)
     e = embeddings.select("vec_id", "embedding").withColumn(
-        "bucket", lsh_bucket_expr(F.col("embedding"), planes)
+        "bucket", lsh_bucket_udf(planes)(F.col("embedding"))
     )
     probes = [F.col("bucket")]
     if multiprobe >= 1:
@@ -617,10 +640,12 @@ def embedding_dups_lsh(
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    from .similarity import cosine6_udf
+
     return cand.select(
         "vec_a",
         "vec_b",
-        F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+        cosine6_udf()(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
 
@@ -649,11 +674,31 @@ def hamming_fp_pairs(
     ).select(
         id_col, fp_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    pairs = salted_band_pairs(bands, ["band", "key"], [fp_col], max_bucket, id_col=id_col)
+    pairs = salted_band_pairs(
+        bands, ["band", "key"], [fp_col], max_bucket, id_col=id_col, keep_keys=True
+    )
+    # cross-band dedup WITHOUT a shuffle (r06): a pair agreeing on several
+    # bands surfaces once per band; instead of a groupBy over every candidate
+    # pair row, emit it only from its FIRST matching band — computable per
+    # row from the carried fingerprints (pure codegen), since band b matches
+    # iff the b-th `bw`-bit slices of the two fps are equal. Removes one full
+    # Exchange + HashAggregate from the plan; output set identical.
+    bw = bits // n_bands
+    mask = (1 << bw) - 1
+    fa, fb = F.col(f"{fp_col}_a"), F.col(f"{fp_col}_b")
+
+    def _slice_eq(b: int):
+        return (
+            F.shiftrightunsigned(fa, b * bw).bitwiseAND(F.lit(mask))
+            == F.shiftrightunsigned(fb, b * bw).bitwiseAND(F.lit(mask))
+        )
+
+    first_band = F.when(_slice_eq(0), 0)
+    for b in range(1, n_bands):
+        first_band = first_band.when(_slice_eq(b), b)
     return (
-        pairs.groupBy("doc_a", "doc_b")
-        .agg(F.first(f"{fp_col}_a").alias("fa"), F.first(f"{fp_col}_b").alias("fb"))
-        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        pairs.filter(F.col("band") == first_band)
+        .withColumn("hamming", F.bit_count(fa.bitwiseXOR(fb)))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -72,11 +72,17 @@ def release_components(df: DataFrame) -> None:
 def _large_star(e: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
 
-    Emitted edges satisfy big > small: v > u ≥ m."""
+    Emitted edges satisfy big > small: v > u ≥ m.
+
+    r06: the per-neighborhood minimum is a window min over the SAME
+    partitioning the old groupBy+self-join formulation shuffled on — one
+    Exchange instead of two per star, identical output. Skew is unchanged:
+    the join already funneled every edge of a giant-degree node into one
+    task; large-star is itself the step that breaks such stars up."""
     both = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mn = both.groupBy("u").agg(F.min("v").alias("_mn"))
+    w = Window.partitionBy("u")
     return (
-        both.join(mn, "u")
+        both.withColumn("_mn", F.min("v").over(w))
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.least(F.col("u"), F.col("_mn")).alias("v"))
         .distinct()
@@ -85,13 +91,16 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Connect every smaller-or-equal neighbor of u (and u itself) to the
-    minimum of that neighborhood. Requires (and preserves) u > v."""
-    mn = e.groupBy("u").agg(F.min("_v_small").alias("_mn")).withColumnRenamed("u", "_u")
-    j = e.join(mn, e["u"] == mn["_u"])
+    minimum of that neighborhood. Requires (and preserves) u > v.
+
+    Window-min formulation (see _large_star); the per-u root rows are
+    emitted once per input edge and collapsed by the trailing distinct."""
+    w = Window.partitionBy("u")
+    j = e.withColumn("_mn", F.min("_v_small").over(w))
     nbr = j.where(F.col("_v_small") != F.col("_mn")).select(
         F.col("_v_small").alias("u"), F.col("_mn").alias("v")
     )
-    root = mn.select(F.col("_u").alias("u"), F.col("_mn").alias("v"))
+    root = j.select(F.col("u"), F.col("_mn").alias("v"))
     return nbr.union(root).where(F.col("u") != F.col("v")).distinct()
 
 

@@ -22,6 +22,38 @@ from pyspark.sql import functions as F
 from .dedup import cosine_expr
 
 
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot products with STRICT left-to-right summation order —
+    bit-identical to the interpreted F.aggregate fold (and to DuckDB's
+    list_dot_product loop), unlike BLAS matmul whose pairwise/FMA summation
+    can drift below the 1e-6 rounding the oracles compare at. cumsum is
+    sequential by definition; vectorized across rows."""
+    return np.cumsum(a * b, axis=1)[:, -1]
+
+
+def cosine6_udf():
+    """Vectorized Arrow twin of ``F.round(cosine_expr(a, b), 6)``: the
+    higher-order zip_with/aggregate lambdas are interpreted (no codegen) and
+    were evaluated per candidate PAIR; one numpy pass per batch does the
+    same arithmetic in the same order (sequential product sums, double
+    sqrt, round-6)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series(np.zeros(0))
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        dot = _seq_dot(ma, mb)
+        na = np.sqrt(_seq_dot(ma, ma))
+        nb = np.sqrt(_seq_dot(mb, mb))
+        return pd.Series(np.round(dot / (na * nb), 6), index=a.index)
+
+    return _cos
+
+
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """queries(query_id, embedding) × corpus(vec_id, embedding) → top-k by
     cosine. The corpus never shuffles; the small query side broadcasts."""
@@ -29,7 +61,7 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> D
     scored = j.select(
         F.col("q.query_id").alias("query_id"),
         F.col("c.vec_id").alias("vec_id"),
-        F.round(cosine_expr(F.col("q.embedding"), F.col("c.embedding")), 6).alias("cosine"),
+        cosine6_udf()(F.col("q.embedding"), F.col("c.embedding")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -42,7 +74,8 @@ def _projection_matrix(dim: int, n_bits: int, seed: int = 42) -> list[list[float
 
 def lsh_bucket_expr(emb_col, planes: list[list[float]]):
     """Sign-random-projection bucket id (int) from literal hyperplanes —
-    pure built-in expressions, vectorizable by codegen."""
+    pure built-in expressions (NB: higher-order lambdas are interpreted;
+    prefer lsh_bucket_udf on batch paths)."""
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(v)) for v in plane])
@@ -53,6 +86,31 @@ def lsh_bucket_expr(emb_col, planes: list[list[float]]):
         )
         bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def lsh_bucket_udf(planes: list[list[float]]):
+    """Vectorized Arrow twin of lsh_bucket_expr: one numpy pass per batch,
+    with the plane dots summed in the SAME left-to-right order as the
+    interpreted fold (cumsum) so a near-zero dot can never flip sign
+    between the two formulations (the oracle reproduces the sequential
+    order too)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    pl = np.asarray(planes, dtype=np.float64)  # (n_bits, dim)
+    weights = (1 << np.arange(pl.shape[0], dtype=np.int64))
+
+    @pandas_udf(T.IntegerType())
+    def _bucket(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        m = np.stack(col.to_numpy()).astype(np.float64)  # (n, dim)
+        # (n, n_bits, dim) products, sequential sum over dim
+        dots = np.cumsum(m[:, None, :] * pl[None, :, :], axis=2)[:, :, -1]
+        buckets = ((dots >= 0) * weights[None, :]).sum(axis=1)
+        return pd.Series(buckets.astype(np.int32), index=col.index)
+
+    return _bucket
 
 
 def train_ivf_centroids(
@@ -161,7 +219,7 @@ def ivf_topk(
     scored = j.select(
         F.col("q.query_id").alias("query_id"),
         F.col("c.vec_id").alias("vec_id"),
-        F.round(cosine_expr(F.col("q.embedding"), F.col("c.embedding")), 6).alias("cosine"),
+        cosine6_udf()(F.col("q.embedding"), F.col("c.embedding")).alias("cosine"),
     ).dropDuplicates(["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -180,8 +238,9 @@ def ann_lsh_topk(
     by ≤ `multiprobe` bits); exact cosine re-rank inside candidates.
     `dim` must be passed by the caller (no driver-side sniff of the data)."""
     planes = _projection_matrix(dim, n_bits, seed)
-    corpus = embeddings.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
-    q = queries.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
+    bucket = lsh_bucket_udf(planes)
+    corpus = embeddings.withColumn("bucket", bucket(F.col("embedding")))
+    q = queries.withColumn("bucket", bucket(F.col("embedding")))
     # multiprobe: explode query buckets to hamming-≤multiprobe neighbors
     probes = [F.col("bucket")]
     if multiprobe >= 1:
@@ -209,7 +268,7 @@ def ann_lsh_topk(
     scored = cand.select(
         "query_id",
         "vec_id",
-        F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine"),
+        cosine6_udf()(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -324,7 +383,7 @@ def ivf_topk_indexed(
     scored = j.select(
         F.col("q.query_id").alias("query_id"),
         F.col("c.vec_id").alias("vec_id"),
-        F.round(cosine_expr(F.col("q.embedding"), F.col("c.embedding")), 6).alias("cosine"),
+        cosine6_udf()(F.col("q.embedding"), F.col("c.embedding")).alias("cosine"),
     ).dropDuplicates(["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

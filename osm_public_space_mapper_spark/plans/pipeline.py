@@ -70,8 +70,17 @@ def build_overlay_records(stages: dict[str, DataFrame], region: RegionalConfig |
            | barrier_inacc  (see overlay_core docstring). `region` supplies
     the street/rail/pedestrian width tables (default Vienna/RSV)."""
     region = region or VIENNA
-    dataset = stages["dataset"]
-    buildings = stages["buildings"]
+    # Truncate the classify plan before fanning out (guide §3.3: very wide
+    # unions re-analyze and re-execute every branch's subtree). The records
+    # frame unions 8 role branches, 6 of which re-derive the FULL
+    # clean→classify chain: without materialization each action re-ran the
+    # chain per branch and Catalyst re-analyzed the giant tree 8× (measured
+    # ~4 s per action on the 25-row fixture, pure plan overhead). One eager
+    # localCheckpoint per input runs the chain once and makes every branch a
+    # leaf scan. At scale this is the same trade: 8 recomputes of the
+    # classify chain vs one materialization of the classified dataset.
+    dataset = stages["dataset"].localCheckpoint(eager=True)
+    buildings = stages["buildings"].localCheckpoint(eager=True)
 
     st = F.col("space_type")
     is_road = st.eqNullSafe("road")
@@ -122,7 +131,9 @@ def build_overlay_records(stages: dict[str, DataFrame], region: RegionalConfig |
 
     # reference drops traffic rows from the dataset BEFORE barrier analysis
     rest = clean.drop_road_rail_walking(dataset)
-    rest = interpret_barriers(rest)
+    # interpret_barriers is itself a deep when-chain reused by two branches
+    # (barrier_lines + the element/platform tail) — truncate it once too
+    rest = interpret_barriers(rest).localCheckpoint(eager=True)
     barrier_lines = rest.filter(P.is_barrier() & F.col("access").eqNullSafe("no") & P.is_linestring()).select(
         "element_id", "geom_kind", "geom", "tags", "access",
         F.lit("barrier_inacc").alias("role"),

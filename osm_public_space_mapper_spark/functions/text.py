@@ -153,6 +153,59 @@ def hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _top_bigram_kernel(df, id_col: str, text_col: str):
+    """(doc_id, bigram, cnt) of each doc's most frequent lowercase word
+    2-gram — NULL-free rows only (docs with < 2 words emit nothing; the
+    caller's left join restores NULLs). Normalization parity with the
+    expression path it replaces: strip ASCII spaces (Spark trim), lower,
+    split on Java \\s runs, drop empties, join adjacent words with one
+    space."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _top(batches):
+        for pdf in batches:
+            ids, bigrams, cnts = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(text, str):
+                    continue
+                words = [w for w in ws_re.split(text.strip(" ").lower()) if w]
+                if len(words) < 2:
+                    continue
+                c = Counter(
+                    a + " " + b for a, b in zip(words, words[1:])
+                )
+                bigram, cnt = max(c.items(), key=lambda kv: (kv[1], kv[0]))
+                ids.append(doc_id)
+                bigrams.append(bigram)
+                cnts.append(cnt)
+            yield pd.DataFrame({"doc_id": ids, "bigram": bigrams, "cnt": cnts})
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("bigram", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    # rename the id field to doc_id in the output schema
+    schema = T.StructType(
+        [T.StructField("doc_id", schema[0].dataType)] + list(schema)[1:]
+    )
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(n_part, id_col)
+        .mapInPandas(_top, schema)
+    )
+
+
 def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1):
     scraped/boilerplate documents repeat themselves, and the repetition
@@ -198,12 +251,6 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     words = F.filter(
         F.split(F.lower(F.trim(text)), r"\s+"), lambda w: F.length(w) > 0
     )
-    n_w = F.size(words)
-    bigrams = F.zip_with(
-        F.slice(words, 1, F.greatest(n_w - 1, F.lit(0))),
-        F.slice(words, 2, F.greatest(n_w - 1, F.lit(0))),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
     stats = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(lines).cast("long").alias("n_lines"),
@@ -212,11 +259,15 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
         chars(F.array_distinct(lines)).alias("d_chars"),
         chars(words).alias("word_chars"),
     )
-    base = df.select(F.col(id_col).alias("doc_id"), F.explode_outer(bigrams).alias("bigram"))
-    cnts = base.groupBy("doc_id", "bigram").agg(F.count("bigram").alias("cnt"))
-    rnk = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.desc("bigram"))
-    top = cnts.withColumn("rnk", F.row_number().over(rnk)).where(F.col("rnk") == 1)
-    joined = stats.join(top.select("doc_id", "bigram", "cnt"), "doc_id", "left")
+    # top bigram per doc via ONE Arrow kernel (r06): the old
+    # explode→groupBy(doc,bigram)→row_number plan shuffled every word-bigram
+    # occurrence twice to find a per-DOC mode that a per-doc Counter computes
+    # in place — doc-keyed work never needs a corpus-wide shuffle. Output is
+    # integers + a string (no float rounding in the kernel), tie-break
+    # max(cnt) then max(bigram) matches the window's DESC/DESC order
+    # (python str comparison = code-point order = Spark's UTF8 binary order).
+    top = _top_bigram_kernel(df, id_col, text_col)
+    joined = stats.join(top, "doc_id", "left")
     dbl = lambda c: c.cast("double")  # noqa: E731
     return joined.select(
         "doc_id",

@@ -143,9 +143,19 @@ def bpe_encode(
                 }
             )
 
-    return documents.select(
-        F.col(id_col).alias(id_col), F.col(text_col)
-    ).mapInPandas(_enc, "doc_id long, tokens array<string>, n_tokens long")
+    from pyspark.sql import types as T
+
+    # derive the id field from the input schema (ADVICE r05: the hardcoded
+    # 'doc_id long' miscast non-long or renamed id columns at the Arrow
+    # boundary)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", documents.schema[id_col].dataType),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+    return documents.select(F.col(id_col), F.col(text_col)).mapInPandas(_enc, schema)
 
 
 def bpe_vocab_usage(

@@ -85,7 +85,9 @@ def _large_star(e: DataFrame) -> DataFrame:
         both.withColumn("_mn", F.min("v").over(w))
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.least(F.col("u"), F.col("_mn")).alias("v"))
-        .distinct()
+        # no intermediate distinct: duplicates cannot change small-star's
+        # per-u minimum, and each round's STATE is small-star's output,
+        # which still ends in a distinct — one less Exchange per round
     )
 
 

@@ -86,9 +86,12 @@ def asof_join(
         F.last("_rts", ignorenulls=True).over(w).alias(f"{suffix}ts"),
     ).where(F.col("_side") == 0)
     if tolerance_seconds is not None:
+        # microsecond precision (ADVICE r05): unix_timestamp truncates to
+        # whole seconds, letting matches up to ~1 s staler than the horizon
+        # pass and flooring fractional tolerances
         fresh = (
-            F.unix_timestamp(F.col(ts)) - F.unix_timestamp(F.col(f"{suffix}ts"))
-            <= F.lit(float(tolerance_seconds))
+            F.unix_micros(F.col(ts)) - F.unix_micros(F.col(f"{suffix}ts"))
+            <= F.lit(float(tolerance_seconds) * 1_000_000.0)
         )
         carried = carried.select(
             *left_cols,

@@ -221,6 +221,12 @@ class IceliteTable:
         # the partition column is stored inside each file (Iceberg-style,
         # no hive-dir recovery needed)
         df = spark.read.option("mergeSchema", "true").parquet(*sorted(paths))
+        return self._project_evolved(df)
+
+    def _project_evolved(self, df):
+        """Apply the metadata-declared added columns to a raw file scan
+        (Iceberg initial-defaults) — shared by read() and merge_into()'s
+        affected-file rewrite scan so evolved tables merge correctly."""
         meta = self.current_metadata()
         for col in meta.get("added_columns", []):
             from pyspark.sql import functions as F
@@ -342,7 +348,11 @@ class IceliteTable:
             m["path"] for m in snap["manifests"] if os.path.basename(m["path"]) in affected
         )
         hit = (
-            spark.read.parquet(*aff_paths)
+            # same projection as read(): mergeSchema + evolved-column
+            # defaults, so a merge after add_column() sees every target
+            # column (ADVICE r05: the bare parquet scan lacked added
+            # columns and .select(*tcols) raised)
+            self._project_evolved(spark.read.option("mergeSchema", "true").parquet(*aff_paths))
             if aff_paths
             else spark.createDataFrame([], tgt.drop("_file").schema)
         )

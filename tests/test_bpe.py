@@ -78,3 +78,14 @@ def test_bpe_vocab_usage_deterministic(spark):
     b = [(r.token, r.cnt, r.rank) for r in bpe_vocab_usage(docs.repartition(7), merges, k=20).collect()]
     assert sorted(a, key=lambda t: t[2]) == sorted(b, key=lambda t: t[2])
     assert len(a) == 20 and a[0][2] == 1 if a else True
+
+
+def test_bpe_encode_string_id_column(spark):
+    # r06 (ADVICE r05 low): the output id field derives from the input
+    # schema — a string id column round-trips instead of miscasting
+    docs = spark.createDataFrame(
+        [("doc-a", "low lower lowest"), ("doc-b", "low low")], "name string, text string"
+    )
+    merges = train_bpe(docs, num_merges=10)
+    out = {r.doc_id: r.n_tokens for r in bpe_encode(docs, merges, id_col="name").collect()}
+    assert set(out) == {"doc-a", "doc-b"} and all(n > 0 for n in out.values())

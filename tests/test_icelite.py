@@ -247,3 +247,19 @@ def test_add_column_defaults_old_files(spark, table):
     # duplicate add rejected
     with pytest.raises(ValueError):
         table.add_column("quality", "double", default=2.0)
+
+
+def test_merge_after_add_column(spark, table):
+    # r06 (ADVICE r05 medium): the merge rewrite scan must apply the same
+    # evolved-column projection as read(); before the fix .select(*tcols)
+    # raised because the affected-file scan lacked the added column
+    table.commit(_df(spark, 0, 20), "part", stage="init")
+    table.add_column("flag", "string", default="new")
+    src = spark.range(0, 4).withColumn("part", F.lit("9")).withColumn("v", F.col("id") * 100).withColumn("flag", F.lit("upd"))
+    table.merge_into(spark, src, on="id")
+    got = {r.id: (r.v, r.flag) for r in table.read(spark).collect()}
+    assert len(got) == 20
+    for i in range(4):
+        assert got[i] == (i * 100, "upd")
+    for i in range(4, 20):
+        assert got[i] == (i * 2, "new")  # untouched rows keep the default

@@ -264,3 +264,28 @@ def test_time_bucket_rollup_gapfill_locf(spark):
     assert got[("a", h0 + 3 * 3600)] == (1, 2.0)
     assert got[("b", h0 + 7200)] == (1, 9.0)
     assert len(got) == 5  # a: 4 buckets, b: 1 bucket — no cross-key gapfill
+
+
+def test_asof_join_tolerance_subsecond(spark):
+    # r06 (ADVICE r05 low): tolerance compares at microsecond precision —
+    # a match 1.5 s stale must be nulled by tolerance_seconds=1 (the old
+    # unix_timestamp comparison truncated 1.5 s to 1 s and let it pass),
+    # and a fractional tolerance must not round to zero
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2026-01-01T10:00:01.500")), (2, 10, _ts("2026-01-01T10:00:00.400"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2026-01-01T10:00:00"), 7.0)], "user_id long, ts timestamp, value double"
+    )
+    got = {
+        r.event_id: r.asof_value
+        for r in asof_join(left, right, by="user_id", ts="ts", tolerance_seconds=1).collect()
+    }
+    assert got[1] is None     # 1.5 s stale > 1 s tolerance
+    assert got[2] == 7.0      # 0.4 s stale
+    got_frac = {
+        r.event_id: r.asof_value
+        for r in asof_join(left, right, by="user_id", ts="ts", tolerance_seconds=0.3).collect()
+    }
+    assert got_frac[2] is None  # 0.4 s stale > 0.3 s tolerance

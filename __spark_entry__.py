@@ -28,7 +28,7 @@ from osm_public_space_mapper_spark.operators import similarity as SIM
 from osm_public_space_mapper_spark.operators.dedup import MINHASH_BANDS, MINHASH_MASK, MINHASH_PERMS, MINHASH_PRIME, minhash_params
 
 
-_PYFILES_SENT: set[int] = set()
+_PYFILES_SENT: set[str] = set()
 
 
 def _ensure_pyfiles(spark: SparkSession) -> None:
@@ -36,7 +36,10 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
     equivalent of `spark-submit --py-files engine.zip`). Needed whenever the
     driver's cwd isn't the repo root — executors don't inherit driver
     sys.path edits."""
-    key = id(spark)
+    # applicationId, not id(spark): python object ids can be reused by a NEW
+    # session after GC, which would silently skip the addPyFile (and, for
+    # the caches below, serve frames bound to a dead SparkContext)
+    key = spark.sparkContext.applicationId
     if key in _PYFILES_SENT:
         return
     import os
@@ -70,7 +73,7 @@ def _reg(spark: SparkSession, sf_dir: str, *names: str) -> None:
 # spatial flagship helpers (deterministic synthetic inputs; no external data)
 # ---------------------------------------------------------------------------
 
-_LAYER_CACHE: dict[int, list] = {}
+_LAYER_CACHE: dict[str, list] = {}
 
 
 def _polygon_layer(spark: SparkSession) -> DataFrame:
@@ -84,7 +87,7 @@ def _polygon_layer(spark: SparkSession) -> DataFrame:
     import tempfile
 
     _ensure_pyfiles(spark)
-    key = id(spark)
+    key = spark.sparkContext.applicationId
     if key not in _LAYER_CACHE:
         # deterministic fixture layer → persist once per machine (content is
         # a pure function of the seed/config; benches reuse across sessions).
@@ -119,14 +122,14 @@ def _polygon_layer(spark: SparkSession) -> DataFrame:
     return _LAYER_CACHE[key]
 
 
-_TILES_CACHE: dict[int, DataFrame] = {}
+_TILES_CACHE: dict[str, DataFrame] = {}
 
 
 def _tiles(spark: SparkSession) -> DataFrame:
     """Per-tile class masks from the polygon layer (cached per session)."""
     from osm_public_space_mapper_spark.operators import tiling
 
-    key = id(spark)
+    key = spark.sparkContext.applicationId
     if key not in _TILES_CACHE:
         t = tiling.rasterize_tiles(_polygon_layer(spark), tile_res=10, px=0.25).cache()
         t.count()

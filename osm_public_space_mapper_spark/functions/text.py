@@ -228,16 +228,16 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     Scale shape: the line-level fractions are pure array expressions
     (three ``aggregate`` higher-order sums per doc — constant count, not
     the per-bit fan-out pattern dedup.py kernelized) computed in their OWN
-    map-only subplan; the bigram mode (explode_outer → partial-aggregated
-    groupBy on (doc, bigram) → per-doc row_number) runs separately and the
-    two join on doc_id. Keeping them separate is load-bearing: the r05
-    first cut carried the stats columns THROUGH the explode to save the
-    join, and Catalyst's collapsed projection re-evaluated every
-    interpreted aggregate-lambda once per bigram row (~n_words× per doc —
-    measured 21 s vs 4 s at sf0.1). Both sides are keyed by doc_id, so
-    skew is bounded by document length, never by corpus-wide token
-    frequency. Matches the DuckDB oracle bit-for-bit (driver row
-    ``doc_repetition_stats``)."""
+    map-only subplan; the bigram mode is a per-doc Counter in one Arrow
+    kernel (r06 — the old explode → groupBy(doc, bigram) → row_number plan
+    shuffled every bigram occurrence twice for a doc-LOCAL mode), and the
+    two join on doc_id. Keeping the stats separate from the bigram side is
+    load-bearing: the r05 first cut carried the stats columns THROUGH the
+    explode and Catalyst re-evaluated every interpreted aggregate-lambda
+    once per bigram row (measured 21 s vs 4 s at sf0.1). Both sides are
+    keyed by doc_id, so skew is bounded by document length, never by
+    corpus-wide token frequency. Matches the DuckDB oracle bit-for-bit
+    (driver row ``doc_repetition_stats``)."""
     from pyspark.sql import Window
 
     text = F.col(text_col)

@@ -224,7 +224,8 @@ def minhash_lsh_pairs(
     band self-join (`salted_band_pairs`, bounded per-task even when a
     degenerate corpus floods one bucket) emits candidate pairs with both
     arrays attached, and the exact Jaccard verify is computed in place after
-    a cross-band groupBy dedup. No driver-side probe job (the r03
+    an emit-at-first-matching-band dedup filter (r06 — no groupBy shuffle of
+    the candidate pairs). No driver-side probe job (the r03
     `hot_keys.isEmpty()` guard cost a blocking pass over the banded corpus
     before the real join could plan), no `.cache()` (both self-join sides
     are one subplan → ReusedExchange runs the Arrow signature kernel once),

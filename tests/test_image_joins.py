@@ -261,3 +261,26 @@ def test_jpeg_rows_hold_lossy_invariant(spark):
     assert all(r.psnr_db >= 40.0 for r in inv)
     feats = image_features(df).collect()
     assert len(feats) == 50
+
+
+def test_cell_expr_matches_encode_cells(spark):
+    # r06: the pure-Catalyst cell encoder must be bit-identical to the
+    # numpy encode_cells the pandas UDF wrapped — including negative
+    # coordinates (two's-complement masking) and cell-edge floors
+    import numpy as np
+
+    from osm_public_space_mapper_spark.cells.grid import encode_cells
+    from osm_public_space_mapper_spark.functions.geometry import cell_expr
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    xs = np.concatenate([rng.uniform(-5e6, 5e6, 500), np.array([0.0, -0.0, 64.0, -64.0, 63.9999999])])
+    ys = np.concatenate([rng.uniform(-5e6, 5e6, 500), np.array([0.0, 128.0, -128.0, 1e-9, -1e-9])])
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(xs, ys)], "x double, y double"
+    )
+    for res in (7, 12, 13):
+        got = [r.c for r in df.select(cell_expr(res)(F.col("x"), F.col("y")).alias("c")).collect()]
+        want = encode_cells(xs, ys, res).tolist()
+        assert got == want, f"res {res}"

@@ -641,12 +641,16 @@ def embedding_dups_lsh(
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    from .similarity import cosine6_udf
-
+    # cosine stays the in-JVM expression here: multiprobe=2 candidate
+    # volume is quadratic-ish and every pair row carries BOTH embeddings —
+    # shipping that through an Arrow/Python scoring stage measured 2× slower
+    # than interpreted eval at 10k vectors (48 s vs 22 s); the per-pair
+    # Python transfer dominates, unlike the top-k paths whose candidate
+    # sets are k-bounded
     return cand.select(
         "vec_a",
         "vec_b",
-        cosine6_udf()(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+        F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
 
